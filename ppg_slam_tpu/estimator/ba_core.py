@@ -1,0 +1,645 @@
+"""Batched Gauss-Newton / Levenberg bundle adjustment on TPU.
+
+Replaces all g2o-based optimizers of the reference (SURVEY.md §2.4;
+/root/reference/optimizing/src/Optimizer*.cpp) with ONE jitted solver over SoA
+state tensors:
+
+  * KF states are uniform 15-DOF blocks [theta(3), t(3), v(3), bg(3), ba(3)]
+    with a per-DOF free mask (visual-only BA frees [0:6] only; fixed KFs free
+    nothing) — one code path for every BA flavor.
+  * residual types: reprojection (EdgeMono/EdgeSE3ProjectXYZ), 3-point
+    colinearity (EdgeColine), 9-D IMU preintegration (EdgeInertial), bias
+    random walks (EdgeGyroRW/EdgeAccRW), 15-D pose-IMU prior
+    (EdgePriorPoseImu), bias priors (EdgePriorGyro/Acc). Jacobians come from
+    jacfwd on the per-residual functions (vmapped) — consistent by
+    construction with the residual definitions.
+  * robust kernels are IRLS weights (estimator.robust).
+  * landmarks are eliminated with a Schur complement over the block-diagonal
+    part of Hll; the reduced (15N x 15N) system is solved with dense Cholesky
+    on the MXU. Colines couple landmarks (the reference therefore solves the
+    full sparse system with BlockSolverX, OptimizerLBA.cpp:103-105,
+    setMarginalized(false) :165); we keep their exact gradient and
+    block-diagonal Hessian part, then run Jacobi refinement sweeps on the
+    landmark system including the coline cross-blocks — same stationary
+    points, TPU-friendly dense algebra.
+
+Everything is fixed-shape: problems are padded and masked, so XLA compiles a
+few bucket sizes per BA flavor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import so3
+from ..geometry.cameras import CameraModel
+from ..imu.preintegration import GRAVITY_VALUE
+from .robust import KERNELS
+
+# state block layout
+DOF = 15
+S_TH, S_T, S_V, S_BG, S_BA = 0, 3, 6, 9, 12
+
+
+class KFStates(NamedTuple):
+    """SoA keyframe states: body-in-world pose + velocity + biases."""
+
+    R: jax.Array   # (N, 3, 3) Rwb
+    t: jax.Array   # (N, 3) twb
+    v: jax.Array   # (N, 3)
+    bg: jax.Array  # (N, 3)
+    ba: jax.Array  # (N, 3)
+
+    def retract(self, dx: jax.Array) -> "KFStates":
+        """dx: (N, 15) local update, ImuCamPose::Update convention
+        (G2oVertex.cpp: twb += Rwb*ut; Rwb = Rwb*exp(ur))."""
+        dth, dt = dx[:, S_TH:S_T], dx[:, S_T:S_V]
+        R = self.R @ so3.exp(dth)
+        t = self.t + jnp.einsum("nij,nj->ni", self.R, dt)
+        return KFStates(
+            so3.normalize(R), t,
+            self.v + dx[:, S_V:S_BG],
+            self.bg + dx[:, S_BG:S_BA],
+            self.ba + dx[:, S_BA:],
+        )
+
+
+class BAProblem(NamedTuple):
+    """Padded residual data. All index arrays refer to KF slot / MP slot."""
+
+    # reprojection observations
+    r_kf: jax.Array     # (O,) int32
+    r_mp: jax.Array     # (O,) int32
+    r_uv: jax.Array     # (O, 2)
+    r_valid: jax.Array  # (O,) bool
+
+    # colines (3 landmark indices + weight)
+    c_idx: jax.Array    # (C, 3) int32
+    c_w: jax.Array      # (C,) aveWeight -> information = I * w
+    c_valid: jax.Array  # (C,) bool
+
+    # inertial links
+    i_kf1: jax.Array    # (L,) int32
+    i_kf2: jax.Array    # (L,)
+    i_dR: jax.Array     # (L, 3, 3) preintegrated deltas at bias i_b0
+    i_dV: jax.Array     # (L, 3)
+    i_dP: jax.Array     # (L, 3)
+    i_JRg: jax.Array    # (L, 3, 3) bias Jacobians
+    i_JVg: jax.Array
+    i_JVa: jax.Array
+    i_JPg: jax.Array
+    i_JPa: jax.Array
+    i_b0: jax.Array     # (L, 6) [bg, ba] linearization bias
+    i_sqi: jax.Array    # (L, 9, 9) sqrt information (upper Cholesky factor)
+    i_dt: jax.Array     # (L,)
+    i_valid: jax.Array  # (L,) bool
+    i_huber: jax.Array  # (L,) bool — Huber(sqrt(16.92)) on this link
+
+    # bias random walks (same links as inertial)
+    rw_sqig: jax.Array  # (L, 3, 3) sqrt info gyro walk
+    rw_sqia: jax.Array  # (L, 3, 3) sqrt info acc walk
+    rw_valid: jax.Array # (L,)
+
+    # 15-D pose-imu prior (EdgePriorPoseImu)
+    p_kf: jax.Array     # (P,) int32
+    p_R: jax.Array      # (P, 3, 3)
+    p_t: jax.Array      # (P, 3)
+    p_v: jax.Array      # (P, 3)
+    p_bg: jax.Array     # (P, 3)
+    p_ba: jax.Array     # (P, 3)
+    p_sqi: jax.Array    # (P, 15, 15)
+    p_valid: jax.Array  # (P,)
+
+    # bias priors (EdgePriorGyro/Acc): r = bg/ba of kf, info = I * w
+    bp_kf: jax.Array    # (B,) int32
+    bp_wg: jax.Array    # (B,)
+    bp_wa: jax.Array    # (B,)
+    bp_valid: jax.Array # (B,)
+
+
+def empty_problem(n_obs=0, n_col=0, n_links=0, n_priors=0, n_bp=0,
+                  dtype=jnp.float32) -> BAProblem:
+    """All-invalid padded problem (building block for host assemblers)."""
+    f = lambda *s: jnp.zeros(s, dtype)
+    i = lambda *s: jnp.zeros(s, jnp.int32)
+    b = lambda *s: jnp.zeros(s, bool)
+    eye9 = jnp.broadcast_to(jnp.eye(9, dtype=dtype), (n_links, 9, 9))
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (n_links, 3, 3))
+    eye15 = jnp.broadcast_to(jnp.eye(15, dtype=dtype), (n_priors, 15, 15))
+    eyeL = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (n_links, 3, 3))
+    return BAProblem(
+        r_kf=i(n_obs), r_mp=i(n_obs), r_uv=f(n_obs, 2), r_valid=b(n_obs),
+        c_idx=i(n_col, 3), c_w=f(n_col), c_valid=b(n_col),
+        i_kf1=i(n_links), i_kf2=i(n_links), i_dR=eye3, i_dV=f(n_links, 3),
+        i_dP=f(n_links, 3), i_JRg=f(n_links, 3, 3), i_JVg=f(n_links, 3, 3),
+        i_JVa=f(n_links, 3, 3), i_JPg=f(n_links, 3, 3), i_JPa=f(n_links, 3, 3),
+        i_b0=f(n_links, 6), i_sqi=eye9, i_dt=f(n_links), i_valid=b(n_links),
+        i_huber=b(n_links),
+        rw_sqig=eyeL, rw_sqia=eyeL, rw_valid=b(n_links),
+        p_kf=i(n_priors), p_R=jnp.broadcast_to(jnp.eye(3, dtype=dtype),
+                                               (n_priors, 3, 3)),
+        p_t=f(n_priors, 3), p_v=f(n_priors, 3), p_bg=f(n_priors, 3),
+        p_ba=f(n_priors, 3), p_sqi=eye15, p_valid=b(n_priors),
+        bp_kf=i(n_bp), bp_wg=f(n_bp), bp_wa=f(n_bp), bp_valid=b(n_bp),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class BAOptions:
+    """Static solver configuration (hashable -> jit static arg)."""
+
+    iters: int = 10
+    lambda0: float = 1e-5           # g2o userLambdaInit of the BA flavor
+    adapt: bool = True              # reject worse steps, grow lambda
+    reproj_kernel: str = "cauchy"   # LBA/GBA mapping default
+    reproj_delta: float = 2.447574  # sqrt(5.991)
+    coline_kernel: str = "huber"
+    coline_delta: float = 2.795532  # sqrt(7.815)
+    pcg_iters: int = 4              # landmark-system PCG (coline coupling)
+    chi2_inlier_mono: float = 5.991
+
+
+# ---------------------------------------------------------------------------
+# residual functions (delta at zero -> jacfwd gives GN Jacobians)
+# ---------------------------------------------------------------------------
+
+def _perturb_pose(R, t, d6):
+    Rn = R @ so3.exp(d6[:3])
+    tn = t + R @ d6[3:6]
+    return Rn, tn
+
+
+def make_reproj_residual(cam: CameraModel, Rcb, tcb):
+    """uv - project(Tcb * Twb(kf)^-1 * X) (EdgeMono, G2oEdge.cpp:14-20)."""
+
+    def res(d_kf, d_mp, R, t, X, uv):
+        Rn, tn = _perturb_pose(R, t, d_kf[:6])
+        Xb = Rn.T @ (X + d_mp - tn)
+        Xc = Rcb @ Xb + tcb
+        return uv - cam.project(Xc)
+
+    return res
+
+
+def coline_residual(d1, d2, d3, X1, X2, X3):
+    """normalize(p2-p1) x normalize(p3-p2) (EdgeColine, G2oEdge.cpp:689-707).
+
+    The norm is smoothed with a small epsilon so jacfwd stays finite for the
+    degenerate padded entries (the reference zeroes the error there)."""
+    v1 = (X2 + d2) - (X1 + d1)
+    v2 = (X3 + d3) - (X2 + d2)
+    n1 = v1 * jax.lax.rsqrt(jnp.sum(v1 * v1) + 1e-12)
+    n2 = v2 * jax.lax.rsqrt(jnp.sum(v2 * v2) + 1e-12)
+    return jnp.cross(n1, n2)
+
+
+def inertial_residual(d1, d2, R1, t1, v1, bg1, ba1, R2, t2, v2,
+                      dRm, dVm, dPm, JRg, JVg, JVa, JPg, JPa, b0, dt):
+    """9-D preintegration residual (EdgeInertial::computeError,
+    G2oEdge.cpp:241-262) with first-order bias correction."""
+    R1n, t1n = _perturb_pose(R1, t1, d1[:6])
+    v1n = v1 + d1[S_V:S_BG]
+    bg = bg1 + d1[S_BG:S_BA]
+    ba = ba1 + d1[S_BA:]
+    R2n, t2n = _perturb_pose(R2, t2, d2[:6])
+    v2n = v2 + d2[S_V:S_BG]
+
+    dbg = bg - b0[:3]
+    dba = ba - b0[3:]
+    dR = dRm @ so3.exp(JRg @ dbg)
+    dV = dVm + JVg @ dbg + JVa @ dba
+    dP = dPm + JPg @ dbg + JPa @ dba
+
+    g = jnp.array([0.0, 0.0, -GRAVITY_VALUE], R1.dtype)
+    er = so3.log(dR.T @ R1n.T @ R2n)
+    ev = R1n.T @ (v2n - v1n - g * dt) - dV
+    ep = R1n.T @ (t2n - t1n - v1n * dt - 0.5 * g * dt * dt) - dP
+    return jnp.concatenate([er, ev, ep])
+
+
+def prior15_residual(d, R, t, v, bg, ba, R0, t0, v0, bg0, ba0):
+    """EdgePriorPoseImu::computeError (G2oEdge.cpp)."""
+    Rn, tn = _perturb_pose(R, t, d[:6])
+    er = so3.log(R0.T @ Rn)
+    et = R0.T @ (tn - t0)
+    ev = (v + d[S_V:S_BG]) - v0
+    ebg = (bg + d[S_BG:S_BA]) - bg0
+    eba = (ba + d[S_BA:]) - ba0
+    return jnp.concatenate([er, et, ev, ebg, eba])
+
+
+# ---------------------------------------------------------------------------
+# assembly helpers
+# ---------------------------------------------------------------------------
+
+def _whiten(J, r, sqi):
+    """Apply sqrt information: J' = sqi @ J, r' = sqi @ r."""
+    return sqi @ J, sqi @ r
+
+
+# ---------------------------------------------------------------------------
+# the solver
+# ---------------------------------------------------------------------------
+
+def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
+                 opts: BAOptions, kf_dof, mp_free):
+    """One linearization: whitened residuals, Jacobians, robust weights.
+
+    Returns (total_chi2, assembled Hpp (N15, N15), b_p (N15,), Hll (M,3,3),
+    b_l (M,3), W (M, 3, N15), coline terms for refinement)."""
+    n = states.R.shape[0]
+    m = points.shape[0]
+    n15 = n * DOF
+    dtype = points.dtype
+
+    Hpp = jnp.zeros((n, DOF, n, DOF), dtype)
+    b_p = jnp.zeros((n, DOF), dtype)
+    Hll = jnp.zeros((m, 3, 3), dtype)
+    b_l = jnp.zeros((m, 3), dtype)
+    W = jnp.zeros((m, 3, n15), dtype)
+    chi2_sum = jnp.zeros((), dtype)
+
+    dof_mask = kf_dof.astype(dtype)  # (N, 15)
+    mp_mask = mp_free.astype(dtype)  # (M,)
+
+    # ---- reprojection ---------------------------------------------------
+    res_fn = make_reproj_residual(cam, Rcb, tcb)
+
+    def reproj_one(kf, mp, uv):
+        R, t = states.R[kf], states.t[kf]
+        X = points[mp]
+        r = res_fn(jnp.zeros(DOF, dtype), jnp.zeros(3, dtype), R, t, X, uv)
+        Jk, Jx = jax.jacfwd(res_fn, argnums=(0, 1))(
+            jnp.zeros(DOF, dtype), jnp.zeros(3, dtype), R, t, X, uv
+        )
+        return r, Jk, Jx
+
+    r, Jk, Jx = jax.vmap(reproj_one)(prob.r_kf, prob.r_mp, prob.r_uv)
+    rv = prob.r_valid[:, None]
+    r = jnp.where(rv, r, 0.0)
+    Jk = jnp.where(rv[..., None], Jk, 0.0)
+    Jx = jnp.where(rv[..., None], Jx, 0.0)
+    chi2 = jnp.sum(r * r, axis=1)
+    w = KERNELS[opts.reproj_kernel](chi2, opts.reproj_delta)
+    w = w * prob.r_valid
+    chi2_sum += jnp.sum(
+        jnp.where(prob.r_valid,
+                  _rho(chi2, opts.reproj_kernel, opts.reproj_delta), 0.0)
+    )
+    # apply free masks to Jacobian columns
+    Jk = Jk * dof_mask[prob.r_kf][:, None, :]
+    Jx = Jx * mp_mask[prob.r_mp][:, None, None]
+    sw = w[:, None, None]
+    Hpp = Hpp.at[prob.r_kf, :, prob.r_kf, :].add(
+        sw * jnp.einsum("odi,odj->oij", Jk, Jk))
+    b_p = b_p.at[prob.r_kf].add(w[:, None] * jnp.einsum("odi,od->oi", Jk, r))
+    Hll = Hll.at[prob.r_mp].add(sw * jnp.einsum("odi,odj->oij", Jx, Jx))
+    b_l = b_l.at[prob.r_mp].add(w[:, None] * jnp.einsum("odi,od->oi", Jx, r))
+    cols = (prob.r_kf * DOF)[:, None, None] + jnp.arange(DOF)[None, None, :]
+    W = W.at[prob.r_mp[:, None, None], jnp.arange(3)[None, :, None], cols].add(
+        sw * jnp.einsum("odi,odj->oij", Jx, Jk))
+
+    # ---- colines --------------------------------------------------------
+    def coline_one(idx, cw):
+        X1, X2, X3 = points[idx[0]], points[idx[1]], points[idx[2]]
+        z3 = jnp.zeros(3, dtype)
+        rc = coline_residual(z3, z3, z3, X1, X2, X3)
+        J1, J2, J3 = jax.jacfwd(coline_residual, argnums=(0, 1, 2))(
+            z3, z3, z3, X1, X2, X3)
+        return rc, J1, J2, J3
+
+    rc, J1, J2, J3 = jax.vmap(coline_one)(prob.c_idx, prob.c_w)
+    chi2c = jnp.sum(rc * rc, axis=1) * prob.c_w
+    wc = KERNELS[opts.coline_kernel](chi2c, opts.coline_delta)
+    wc = wc * prob.c_valid * prob.c_w  # includes information weight
+    chi2_sum += jnp.sum(
+        jnp.where(prob.c_valid,
+                  _rho(chi2c, opts.coline_kernel, opts.coline_delta), 0.0)
+    )
+    # sanitize padded entries (where on validity, NOT weight-multiply: 0*nan=nan)
+    cv = prob.c_valid[:, None, None]
+    rc = jnp.where(prob.c_valid[:, None], rc, 0.0)
+    J1 = jnp.where(cv, J1, 0.0)
+    J2 = jnp.where(cv, J2, 0.0)
+    J3 = jnp.where(cv, J3, 0.0)
+    Js = [J1 * mp_mask[prob.c_idx[:, 0]][:, None, None],
+          J2 * mp_mask[prob.c_idx[:, 1]][:, None, None],
+          J3 * mp_mask[prob.c_idx[:, 2]][:, None, None]]
+    swc = wc[:, None, None]
+    for a in range(3):
+        Hll = Hll.at[prob.c_idx[:, a]].add(
+            swc * jnp.einsum("odi,odj->oij", Js[a], Js[a]))
+        b_l = b_l.at[prob.c_idx[:, a]].add(
+            wc[:, None] * jnp.einsum("odi,od->oi", Js[a], rc))
+    # cross-blocks are handled in the Jacobi refinement (kept out of Schur)
+    coline_terms = (rc, Js, wc)
+
+    # ---- inertial links ---------------------------------------------------
+    def inertial_one(k1, k2, dRm, dVm, dPm, JRg, JVg, JVa, JPg, JPa, b0, sqi,
+                     dt_):
+        z = jnp.zeros(DOF, dtype)
+        args = (states.R[k1], states.t[k1], states.v[k1], states.bg[k1],
+                states.ba[k1], states.R[k2], states.t[k2], states.v[k2],
+                dRm, dVm, dPm, JRg, JVg, JVa, JPg, JPa, b0, dt_)
+        ri = inertial_residual(z, z, *args)
+        Ja, Jb = jax.jacfwd(inertial_residual, argnums=(0, 1))(z, z, *args)
+        Ja, ri_w = _whiten(Ja, ri, sqi)
+        Jb = sqi @ Jb
+        return ri_w, Ja, Jb
+
+    ri, Ja, Jb = jax.vmap(inertial_one)(
+        prob.i_kf1, prob.i_kf2, prob.i_dR, prob.i_dV, prob.i_dP, prob.i_JRg,
+        prob.i_JVg, prob.i_JVa, prob.i_JPg, prob.i_JPa, prob.i_b0, prob.i_sqi,
+        prob.i_dt)
+    chi2i = jnp.sum(ri * ri, axis=1)
+    wi = jnp.where(prob.i_huber,
+                   KERNELS["huber"](chi2i, 4.113393), 1.0)  # sqrt(16.92)
+    wi = wi * prob.i_valid
+    chi2_sum += jnp.sum(jnp.where(
+        prob.i_valid,
+        jnp.where(prob.i_huber, _rho(chi2i, "huber", 4.113393), chi2i), 0.0))
+    Ja = Ja * dof_mask[prob.i_kf1][:, None, :]
+    Jb = Jb * dof_mask[prob.i_kf2][:, None, :]
+    swi = wi[:, None, None]
+    Hpp = Hpp.at[prob.i_kf1, :, prob.i_kf1, :].add(
+        swi * jnp.einsum("odi,odj->oij", Ja, Ja))
+    Hpp = Hpp.at[prob.i_kf2, :, prob.i_kf2, :].add(
+        swi * jnp.einsum("odi,odj->oij", Jb, Jb))
+    Hpp = Hpp.at[prob.i_kf1, :, prob.i_kf2, :].add(
+        swi * jnp.einsum("odi,odj->oij", Ja, Jb))
+    Hpp = Hpp.at[prob.i_kf2, :, prob.i_kf1, :].add(
+        swi * jnp.einsum("odi,odj->oij", Jb, Ja))
+    b_p = b_p.at[prob.i_kf1].add(wi[:, None] * jnp.einsum("odi,od->oi", Ja, ri))
+    b_p = b_p.at[prob.i_kf2].add(wi[:, None] * jnp.einsum("odi,od->oi", Jb, ri))
+
+    # ---- bias random walks (r = b2 - b1, J = [-I, +I], whitened) ----------
+    for slot, sq, getter in (
+        (S_BG, prob.rw_sqig, lambda s, k: s.bg[k]),
+        (S_BA, prob.rw_sqia, lambda s, k: s.ba[k]),
+    ):
+        rrw = jnp.einsum("lij,lj->li",
+                         sq, getter(states, prob.i_kf2) - getter(states, prob.i_kf1))
+        wrw = prob.rw_valid.astype(dtype)
+        chi2_sum += jnp.sum(jnp.where(prob.rw_valid,
+                                      jnp.sum(rrw * rrw, axis=1), 0.0))
+        m1 = dof_mask[prob.i_kf1][:, slot:slot + 3]
+        m2 = dof_mask[prob.i_kf2][:, slot:slot + 3]
+        Jw1 = -sq * m1[:, None, :]
+        Jw2 = sq * m2[:, None, :]
+        sw = wrw[:, None, None]
+        blk11 = sw * jnp.einsum("odi,odj->oij", Jw1, Jw1)
+        blk22 = sw * jnp.einsum("odi,odj->oij", Jw2, Jw2)
+        blk12 = sw * jnp.einsum("odi,odj->oij", Jw1, Jw2)
+        sl = slice(slot, slot + 3)
+        Hpp = Hpp.at[prob.i_kf1, sl, prob.i_kf1, sl].add(blk11)
+        Hpp = Hpp.at[prob.i_kf2, sl, prob.i_kf2, sl].add(blk22)
+        Hpp = Hpp.at[prob.i_kf1, sl, prob.i_kf2, sl].add(blk12)
+        Hpp = Hpp.at[prob.i_kf2, sl, prob.i_kf1, sl].add(
+            blk12.transpose(0, 2, 1))
+        b_p = b_p.at[prob.i_kf1, sl].add(
+            wrw[:, None] * jnp.einsum("odi,od->oi", Jw1, rrw))
+        b_p = b_p.at[prob.i_kf2, sl].add(
+            wrw[:, None] * jnp.einsum("odi,od->oi", Jw2, rrw))
+
+    # ---- 15-D priors -------------------------------------------------------
+    def prior_one(kf, R0, t0, v0, bg0, ba0, sqi):
+        z = jnp.zeros(DOF, dtype)
+        args = (states.R[kf], states.t[kf], states.v[kf], states.bg[kf],
+                states.ba[kf], R0, t0, v0, bg0, ba0)
+        rp = prior15_residual(z, *args)
+        Jp = jax.jacfwd(prior15_residual, argnums=0)(z, *args)
+        return sqi @ rp, sqi @ Jp
+
+    rp, Jp = jax.vmap(prior_one)(prob.p_kf, prob.p_R, prob.p_t, prob.p_v,
+                                 prob.p_bg, prob.p_ba, prob.p_sqi)
+    wp = prob.p_valid.astype(dtype)
+    chi2_sum += jnp.sum(jnp.where(prob.p_valid, jnp.sum(rp * rp, axis=1), 0.0))
+    Jp = Jp * dof_mask[prob.p_kf][:, None, :]
+    Hpp = Hpp.at[prob.p_kf, :, prob.p_kf, :].add(
+        wp[:, None, None] * jnp.einsum("odi,odj->oij", Jp, Jp))
+    b_p = b_p.at[prob.p_kf].add(wp[:, None] * jnp.einsum("odi,od->oi", Jp, rp))
+
+    # ---- bias priors (diagonal, trivial) -----------------------------------
+    wbg = prob.bp_wg * prob.bp_valid
+    wba = prob.bp_wa * prob.bp_valid
+    bg_v = states.bg[prob.bp_kf]
+    ba_v = states.ba[prob.bp_kf]
+    chi2_sum += jnp.sum(wbg * jnp.sum(bg_v * bg_v, 1)
+                        + wba * jnp.sum(ba_v * ba_v, 1))
+    mgg = kf_dof[prob.bp_kf, S_BG:S_BA].astype(dtype)
+    mba = kf_dof[prob.bp_kf, S_BA:].astype(dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    Hpp = Hpp.at[prob.bp_kf, S_BG:S_BA, prob.bp_kf, S_BG:S_BA].add(
+        wbg[:, None, None] * eye3 * mgg[:, :, None] * mgg[:, None, :])
+    Hpp = Hpp.at[prob.bp_kf, S_BA:, prob.bp_kf, S_BA:].add(
+        wba[:, None, None] * eye3 * mba[:, :, None] * mba[:, None, :])
+    b_p = b_p.at[prob.bp_kf, S_BG:S_BA].add(wbg[:, None] * bg_v * mgg)
+    b_p = b_p.at[prob.bp_kf, S_BA:].add(wba[:, None] * ba_v * mba)
+
+    return chi2_sum, Hpp.reshape(n15, n15), b_p.reshape(n15), Hll, b_l, W, \
+        coline_terms
+
+
+def _rho(chi2, kernel: str, delta: float):
+    """Robust loss value (for total-cost bookkeeping / LM accept tests)."""
+    d2 = delta * delta
+    if kernel == "huber":
+        return jnp.where(chi2 <= d2, chi2,
+                         2.0 * delta * jnp.sqrt(jnp.maximum(chi2, 1e-12)) - d2)
+    if kernel == "cauchy":
+        return d2 * jnp.log1p(chi2 / d2)
+    return chi2
+
+
+def _chi2_only(states, points, prob, cam, Rcb, tcb, opts):
+    """Total robust cost at a state (for LM step accept/reject)."""
+    dtype = points.dtype
+    res_fn = make_reproj_residual(cam, Rcb, tcb)
+
+    def reproj_one(kf, mp, uv):
+        return res_fn(jnp.zeros(DOF, dtype), jnp.zeros(3, dtype),
+                      states.R[kf], states.t[kf], points[mp], uv)
+
+    r = jax.vmap(reproj_one)(prob.r_kf, prob.r_mp, prob.r_uv)
+    chi2 = jnp.sum(r * r, axis=1)
+    total = jnp.sum(jnp.where(prob.r_valid,
+                              _rho(chi2, opts.reproj_kernel,
+                                   opts.reproj_delta), 0.0))
+
+    def coline_one(idx):
+        z3 = jnp.zeros(3, dtype)
+        return coline_residual(z3, z3, z3, points[idx[0]], points[idx[1]],
+                               points[idx[2]])
+
+    rc = jax.vmap(coline_one)(prob.c_idx)
+    chi2c = jnp.sum(rc * rc, axis=1) * prob.c_w
+    total += jnp.sum(jnp.where(prob.c_valid,
+                               _rho(chi2c, opts.coline_kernel,
+                                    opts.coline_delta), 0.0))
+
+    def inertial_one(k1, k2, dRm, dVm, dPm, JRg, JVg, JVa, JPg, JPa, b0, sqi,
+                     dt_):
+        z = jnp.zeros(DOF, dtype)
+        ri = inertial_residual(
+            z, z, states.R[k1], states.t[k1], states.v[k1], states.bg[k1],
+            states.ba[k1], states.R[k2], states.t[k2], states.v[k2],
+            dRm, dVm, dPm, JRg, JVg, JVa, JPg, JPa, b0, dt_)
+        return sqi @ ri
+
+    ri = jax.vmap(inertial_one)(
+        prob.i_kf1, prob.i_kf2, prob.i_dR, prob.i_dV, prob.i_dP, prob.i_JRg,
+        prob.i_JVg, prob.i_JVa, prob.i_JPg, prob.i_JPa, prob.i_b0, prob.i_sqi,
+        prob.i_dt)
+    chi2i = jnp.sum(ri * ri, axis=1)
+    total += jnp.sum(jnp.where(
+        prob.i_valid,
+        jnp.where(prob.i_huber, _rho(chi2i, "huber", 4.113393), chi2i), 0.0))
+
+    for sq, get in ((prob.rw_sqig, lambda k: states.bg[k]),
+                    (prob.rw_sqia, lambda k: states.ba[k])):
+        rrw = jnp.einsum("lij,lj->li", sq, get(prob.i_kf2) - get(prob.i_kf1))
+        total += jnp.sum(jnp.where(prob.rw_valid, jnp.sum(rrw * rrw, 1), 0.0))
+
+    def prior_one(kf, R0, t0, v0, bg0, ba0, sqi):
+        z = jnp.zeros(DOF, dtype)
+        rp = prior15_residual(z, states.R[kf], states.t[kf], states.v[kf],
+                              states.bg[kf], states.ba[kf], R0, t0, v0, bg0,
+                              ba0)
+        return sqi @ rp
+
+    rp = jax.vmap(prior_one)(prob.p_kf, prob.p_R, prob.p_t, prob.p_v,
+                             prob.p_bg, prob.p_ba, prob.p_sqi)
+    total += jnp.sum(jnp.where(prob.p_valid, jnp.sum(rp * rp, 1), 0.0))
+
+    wbg = prob.bp_wg * prob.bp_valid
+    wba = prob.bp_wa * prob.bp_valid
+    total += jnp.sum(wbg * jnp.sum(states.bg[prob.bp_kf] ** 2, 1)
+                     + wba * jnp.sum(states.ba[prob.bp_kf] ** 2, 1))
+    return total
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "opts"))
+def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
+             kf_dof: jax.Array, mp_free: jax.Array, Rcb: jax.Array,
+             tcb: jax.Array, cam: CameraModel, opts: BAOptions):
+    """Run `opts.iters` damped-GN iterations. Returns (states, points, info).
+
+    info carries per-iteration chi2 for diagnostics and the final per-obs
+    chi2 / depth-positivity for the callers' outlier classification.
+    """
+    n = states.R.shape[0]
+    m = points.shape[0]
+    n15 = n * DOF
+    dtype = points.dtype
+
+    dof_flat = kf_dof.reshape(-1)
+
+    def solve_iter(carry, _):
+        states_c, points_c, lam, last_chi2 = carry
+        chi2, Hpp, b_p, Hll, b_l, W, coline_terms = _compute_all(
+            states_c, points_c, prob, cam, Rcb, tcb, opts, kf_dof, mp_free)
+
+        # landmark block inverses (regularized for padded/fixed landmarks)
+        eye3 = jnp.eye(3, dtype=dtype)
+        Hll_r = Hll + (lam + 1e-8) * eye3[None]
+        Hll_inv = jnp.linalg.inv(Hll_r)
+
+        # Schur: S = Hpp - W^T Hll^-1 W; rhs = b_p - W^T Hll^-1 b_l
+        HinvW = jnp.einsum("mij,mjp->mip", Hll_inv, W)       # (M, 3, N15)
+        S = Hpp - jnp.einsum("mip,miq->pq", W, HinvW)
+        rhs = b_p - jnp.einsum("mip,mi->p", W,
+                               jnp.einsum("mij,mj->mi", Hll_inv, b_l))
+
+        # damping + fixed-DOF handling
+        S = S + lam * jnp.eye(n15, dtype=dtype)
+        S = jnp.where(dof_flat[:, None] * dof_flat[None, :] > 0, S, 0.0)
+        S = S + jnp.diag(jnp.where(dof_flat > 0, 0.0, 1.0))
+
+        L = jnp.linalg.cholesky(S)
+        dx_p = -jax.scipy.linalg.cho_solve((L, True), rhs)
+        dx_p = jnp.where(dof_flat > 0, dx_p, 0.0)
+
+        # back-substitute landmarks: A dx_l = -(b_l + W dx_p), where
+        # A = blockdiag(Hll_r) + coline cross-blocks (SPD). Solved with PCG
+        # preconditioned by the block-diagonal inverse — exact coline coupling
+        # without a sparse factorization (the reference solves the full sparse
+        # system instead; see module docstring).
+        rhs_l = -(b_l + jnp.einsum("mip,p->mi", W, dx_p))
+        rc, Js, wc = coline_terms
+        c_idx = prob.c_idx
+
+        def A_mv(x):
+            y = jnp.einsum("mij,mj->mi", Hll_r, x)
+            for a in range(3):
+                acc = jnp.zeros((c_idx.shape[0], 3), dtype)
+                for bidx in range(3):
+                    if bidx == a:
+                        continue
+                    Hab = wc[:, None, None] * jnp.einsum(
+                        "odi,odj->oij", Js[a], Js[bidx])
+                    acc += jnp.einsum("oij,oj->oi", Hab, x[c_idx[:, bidx]])
+                y = y.at[c_idx[:, a]].add(acc)
+            return y
+
+        Minv = lambda x: jnp.einsum("mij,mj->mi", Hll_inv, x)
+        dx_l = Minv(rhs_l)
+        if opts.pcg_iters > 0:
+            r_cg = rhs_l - A_mv(dx_l)
+            z_cg = Minv(r_cg)
+
+            def pcg_step(carry, _):
+                x, r_, z_, p_ = carry
+                Ap = A_mv(p_)
+                rz = jnp.sum(r_ * z_)
+                alpha = rz / jnp.maximum(jnp.sum(p_ * Ap), 1e-20)
+                x = x + alpha * p_
+                r_n = r_ - alpha * Ap
+                z_n = Minv(r_n)
+                beta = jnp.sum(r_n * z_n) / jnp.maximum(rz, 1e-20)
+                return (x, r_n, z_n, z_n + beta * p_), None
+
+            (dx_l, _, _, _), _ = jax.lax.scan(
+                pcg_step, (dx_l, r_cg, z_cg, z_cg), None,
+                length=opts.pcg_iters)
+        dx_l = dx_l * mp_free[:, None]
+
+        new_states = states_c.retract(dx_p.reshape(n, DOF))
+        new_points = points_c + dx_l
+
+        if opts.adapt:
+            new_chi2 = _chi2_only(new_states, new_points, prob, cam, Rcb, tcb,
+                                  opts)
+            accept = new_chi2 < chi2
+            states_n = jax.tree.map(
+                lambda a, b: jnp.where(accept, a, b), new_states, states_c)
+            points_n = jnp.where(accept, new_points, points_c)
+            lam_n = jnp.where(accept, lam * 0.5, lam * 4.0)
+            return (states_n, points_n, lam_n, jnp.where(accept, new_chi2,
+                                                         chi2)), chi2
+        return (new_states, new_points, lam, chi2), chi2
+
+    init = (states, points, jnp.asarray(opts.lambda0, dtype),
+            jnp.asarray(jnp.inf, dtype))
+    (states_f, points_f, _, final_chi2), chi2_hist = jax.lax.scan(
+        solve_iter, init, None, length=opts.iters)
+
+    # final per-observation chi2 + depth for outlier classification
+    res_fn = make_reproj_residual(cam, Rcb, tcb)
+
+    def obs_chi2(kf, mp, uv):
+        R, t = states_f.R[kf], states_f.t[kf]
+        X = points_f[mp]
+        r = res_fn(jnp.zeros(DOF, dtype), jnp.zeros(3, dtype), R, t, X, uv)
+        Xb = R.T @ (X - t)
+        Xc = Rcb @ Xb + tcb
+        return jnp.sum(r * r), Xc[2]
+
+    obs_chi2_v, obs_depth = jax.vmap(obs_chi2)(prob.r_kf, prob.r_mp, prob.r_uv)
+    return states_f, points_f, dict(chi2_hist=chi2_hist,
+                                    final_chi2=final_chi2,
+                                    obs_chi2=obs_chi2_v, obs_depth=obs_depth)

@@ -1,0 +1,306 @@
+"""Estimator tests: synthetic BA convergence, residual correctness, pose opt."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ppg_slam_tpu.geometry import SE3, so3
+from ppg_slam_tpu.geometry.cameras import CAM_PINHOLE, CameraModel
+from ppg_slam_tpu.estimator import (
+    BAOptions,
+    BAProblem,
+    KFStates,
+    empty_problem,
+    solve_ba,
+    pose_optimization,
+    pose_inertial_optimization,
+    FrameVIState,
+    PreintData,
+    Prior15,
+    marginalize_schur,
+)
+from ppg_slam_tpu.estimator.ba_core import inertial_residual
+from ppg_slam_tpu.imu import integrate, GRAVITY_VALUE
+
+RNG = np.random.RandomState(17)
+
+CAM = CameraModel(kind=CAM_PINHOLE, fx=400.0, fy=400.0, cx=320.0, cy=240.0,
+                  dist=(0.0, 0.0, 0.0, 0.0), width=640, height=480)
+
+
+def make_world(n_kf=6, n_mp=60):
+    """Cameras on an arc looking at a point cloud in front."""
+    points = np.stack([
+        RNG.uniform(-2, 2, n_mp), RNG.uniform(-1.5, 1.5, n_mp),
+        RNG.uniform(4, 8, n_mp)
+    ], 1).astype(np.float32)
+    R_list, t_list = [], []
+    for k in range(n_kf):
+        ang = 0.05 * (k - n_kf / 2)
+        Rwb = np.asarray(so3.exp(jnp.asarray([0.0, ang, 0.0])), np.float32)
+        twb = np.array([0.5 * k, 0.02 * k, 0.1 * np.sin(k)], np.float32)
+        R_list.append(Rwb)
+        t_list.append(twb)
+    return points, np.stack(R_list), np.stack(t_list)
+
+
+def project_all(points, Rwb, twb):
+    """Observations for every (kf, mp): body frame == camera frame here."""
+    obs = []
+    for k in range(len(Rwb)):
+        Xc = (points - twb[k]) @ Rwb[k]  # R^T (X - t)
+        uv = np.stack([400 * Xc[:, 0] / Xc[:, 2] + 320,
+                       400 * Xc[:, 1] / Xc[:, 2] + 240], 1)
+        obs.append(uv.astype(np.float32))
+    return np.stack(obs)  # (K, M, 2)
+
+
+def build_problem(points, Rwb, twb, noise=0.0, coline_idx=None):
+    n_kf, n_mp = len(Rwb), len(points)
+    uv = project_all(points, Rwb, twb)
+    uv += RNG.randn(*uv.shape).astype(np.float32) * noise
+    r_kf = np.repeat(np.arange(n_kf), n_mp).astype(np.int32)
+    r_mp = np.tile(np.arange(n_mp), n_kf).astype(np.int32)
+    r_uv = uv.reshape(-1, 2)
+    O = len(r_kf)
+    base = empty_problem(n_obs=O, n_col=max(1, 0 if coline_idx is None else len(coline_idx)),
+                         n_links=1, n_priors=1, n_bp=1)
+    prob = base._replace(
+        r_kf=jnp.asarray(r_kf), r_mp=jnp.asarray(r_mp),
+        r_uv=jnp.asarray(r_uv), r_valid=jnp.ones(O, bool),
+    )
+    if coline_idx is not None:
+        prob = prob._replace(
+            c_idx=jnp.asarray(np.asarray(coline_idx, np.int32)),
+            c_w=jnp.full((len(coline_idx),), 50.0, jnp.float32),
+            c_valid=jnp.ones(len(coline_idx), bool),
+        )
+    return prob
+
+
+class TestVisualBA:
+    def test_converges_to_ground_truth(self):
+        points, Rwb, twb = make_world()
+        n_kf, n_mp = len(Rwb), len(points)
+        prob = build_problem(points, Rwb, twb)
+
+        # perturb everything except the first two poses (gauge)
+        Rn = Rwb.copy()
+        tn = twb.copy()
+        for k in range(2, n_kf):
+            Rn[k] = np.asarray(
+                so3.exp(jnp.asarray(RNG.randn(3).astype(np.float32) * 0.02))
+            ) @ Rn[k]
+            tn[k] += RNG.randn(3).astype(np.float32) * 0.05
+        pn = points + RNG.randn(n_mp, 3).astype(np.float32) * 0.05
+
+        states = KFStates(
+            R=jnp.asarray(Rn), t=jnp.asarray(tn),
+            v=jnp.zeros((n_kf, 3), jnp.float32),
+            bg=jnp.zeros((n_kf, 3), jnp.float32),
+            ba=jnp.zeros((n_kf, 3), jnp.float32))
+        kf_dof = np.zeros((n_kf, 15), bool)
+        kf_dof[2:, :6] = True  # first two fixed
+        opts = BAOptions(iters=15, lambda0=1e-5)
+        st, pts, info = solve_ba(
+            states, jnp.asarray(pn), prob, jnp.asarray(kf_dof),
+            jnp.ones(n_mp, bool), jnp.eye(3, dtype=jnp.float32),
+            jnp.zeros(3, jnp.float32), CAM, opts)
+
+        np.testing.assert_allclose(np.asarray(st.t), twb, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(pts), points, atol=5e-3)
+        chi2 = np.asarray(info["chi2_hist"])
+        assert chi2[-1] < chi2[0] * 1e-4
+
+    def test_coline_constraint_pulls_points_to_line(self):
+        """3 collinear points, perturb middle one off the line, only colines +
+        2 fixed cameras observing: coline residual must decrease."""
+        points, Rwb, twb = make_world(n_kf=2, n_mp=9)
+        # make points 0,1,2 collinear
+        points[1] = 0.5 * (points[0] + points[2])
+        prob = build_problem(points, Rwb, twb, coline_idx=[[0, 1, 2]])
+        pn = points.copy()
+        pn[1] += np.float32([0.05, -0.04, 0.06])
+
+        states = KFStates(R=jnp.asarray(Rwb), t=jnp.asarray(twb),
+                          v=jnp.zeros((2, 3), jnp.float32),
+                          bg=jnp.zeros((2, 3), jnp.float32),
+                          ba=jnp.zeros((2, 3), jnp.float32))
+        kf_dof = np.zeros((2, 15), bool)  # all poses fixed
+        opts = BAOptions(iters=10, lambda0=1e-4)
+        st, pts, info = solve_ba(
+            states, jnp.asarray(pn), prob, jnp.asarray(kf_dof),
+            jnp.ones(9, bool), jnp.eye(3, dtype=jnp.float32),
+            jnp.zeros(3, jnp.float32), CAM, opts)
+        np.testing.assert_allclose(np.asarray(pts), points, atol=2e-3)
+
+    def test_robust_kernel_rejects_outliers(self):
+        points, Rwb, twb = make_world()
+        prob = build_problem(points, Rwb, twb)
+        uv = np.asarray(prob.r_uv).copy()
+        bad = RNG.choice(len(uv), 20, replace=False)
+        uv[bad] += RNG.randn(20, 2).astype(np.float32) * 80.0
+        prob = prob._replace(r_uv=jnp.asarray(uv))
+        n_kf, n_mp = len(Rwb), len(points)
+        tn = twb.copy()
+        tn[2:] += RNG.randn(len(twb) - 2, 3).astype(np.float32) * 0.03
+        states = KFStates(R=jnp.asarray(Rwb), t=jnp.asarray(tn),
+                          v=jnp.zeros((n_kf, 3), jnp.float32),
+                          bg=jnp.zeros((n_kf, 3), jnp.float32),
+                          ba=jnp.zeros((n_kf, 3), jnp.float32))
+        kf_dof = np.zeros((n_kf, 15), bool)
+        kf_dof[2:, :6] = True
+        opts = BAOptions(iters=15, lambda0=1e-5)
+        st, pts, info = solve_ba(
+            states, jnp.asarray(points), prob, jnp.asarray(kf_dof),
+            jnp.ones(n_mp, bool), jnp.eye(3, dtype=jnp.float32),
+            jnp.zeros(3, jnp.float32), CAM, opts)
+        np.testing.assert_allclose(np.asarray(st.t), twb, atol=5e-3)
+        # outliers should have big chi2, inliers small
+        chi2 = np.asarray(info["obs_chi2"])
+        inl = np.ones(len(uv), bool)
+        inl[bad] = False
+        assert np.median(chi2[inl]) < 1.0
+
+
+class TestInertialResidual:
+    def test_zero_on_consistent_states(self):
+        """States integrated exactly from the preintegration => residual 0."""
+        n = 40
+        acc_w = np.tile(np.float32([0.3, -0.2, 0.1]), (n, 1))  # world acc
+        gyr = np.tile(np.float32([0.02, 0.05, -0.03]), (n, 1))
+        dt = np.full(n, 0.005, np.float32)
+        g = np.float32([0, 0, -GRAVITY_VALUE])
+
+        # simulate true motion (body frame measurements)
+        R = np.eye(3, dtype=np.float32)
+        t = np.zeros(3, np.float32)
+        v = np.float32([0.1, 0.2, 0.0])
+        accs = []
+        R0, t0, v0 = R.copy(), t.copy(), v.copy()
+        for k in range(n):
+            a_body = (R.T @ (acc_w[k] - g)).astype(np.float32)
+            accs.append(a_body)
+            t = t + v * dt[k] + 0.5 * acc_w[k] * dt[k] ** 2
+            v = v + acc_w[k] * dt[k]
+            R = R @ np.asarray(so3.exp(jnp.asarray(gyr[k] * dt[k])),
+                               np.float32)
+        accs = np.stack(accs)
+
+        nga = np.full(6, 1e-6, np.float32)
+        st = integrate(jnp.asarray(accs), jnp.asarray(gyr), jnp.asarray(dt),
+                       jnp.ones(n, bool), jnp.zeros(6, jnp.float32), nga, nga)
+        z = jnp.zeros(15, jnp.float32)
+        r = inertial_residual(
+            z, z, jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(v0),
+            jnp.zeros(3), jnp.zeros(3), jnp.asarray(R), jnp.asarray(t),
+            jnp.asarray(v), st.dR, st.dV, st.dP, st.JRg, st.JVg, st.JVa,
+            st.JPg, st.JPa, jnp.zeros(6, jnp.float32),
+            jnp.asarray(float(st.dT), jnp.float32))
+        assert float(jnp.abs(r).max()) < 1e-3
+
+
+class TestPoseOpt:
+    def test_pose_optimization_recovers_pose(self):
+        points, Rwb, twb = make_world(n_kf=1, n_mp=80)
+        Rcw = Rwb[0].T
+        tcw = -Rcw @ twb[0]
+        uv = project_all(points, Rwb, twb)[0]
+        # outliers
+        uv_n = uv.copy()
+        bad = RNG.choice(80, 12, replace=False)
+        uv_n[bad] += RNG.randn(12, 2).astype(np.float32) * 60 + 20
+
+        # perturb initial pose
+        dR = np.asarray(so3.exp(jnp.asarray(np.float32([0.02, -0.01, 0.03]))))
+        R0 = (dR @ Rcw).astype(np.float32)
+        t0 = tcw + np.float32([0.05, -0.03, 0.08])
+
+        Rf, tf, inlier, n_in = pose_optimization(
+            jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(points),
+            jnp.asarray(uv_n), jnp.ones(80, bool), CAM)
+        np.testing.assert_allclose(np.asarray(tf), tcw, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(Rf), Rcw, atol=1e-3)
+        inl = np.asarray(inlier)
+        assert not inl[bad].any() or inl[bad].sum() <= 2
+        assert int(n_in) >= 60
+
+    def test_pose_inertial_optimization(self):
+        points, Rwb, twb = make_world(n_kf=2, n_mp=60)
+        uv = project_all(points, Rwb, twb)[1]
+
+        # simulate body motion with the SAME discrete model the
+        # preintegration assumes, ending exactly at twb[1]
+        n = 20
+        dtm = np.full(n, 0.005, np.float32)
+        g = np.float32([0, 0, -GRAVITY_VALUE])
+        dT = float(dtm.sum())
+        vel0 = np.float32([0.3, -0.1, 0.2])
+        a_total = (2.0 * (twb[1] - twb[0] - vel0 * dT) / dT**2).astype(
+            np.float32)  # constant total world acceleration (incl. gravity)
+        accs, gyrs = [], []
+        R = Rwb[0].copy()
+        t = twb[0].copy()
+        v = vel0.copy()
+        wb = np.asarray(so3.log(jnp.asarray(Rwb[0].T @ Rwb[1])),
+                        np.float32) / dT
+        for k in range(n):
+            accs.append((R.T @ (a_total - g)).astype(np.float32))
+            gyrs.append(wb.astype(np.float32))
+            t = t + v * dtm[k] + 0.5 * a_total * dtm[k] ** 2
+            v = v + a_total * dtm[k]
+            R = R @ np.asarray(so3.exp(jnp.asarray(wb * dtm[k])), np.float32)
+        t1_gt, vel1 = t.copy(), v.copy()
+        # t1_gt differs from twb[1] only by discretization (tiny)
+        np.testing.assert_allclose(t1_gt, twb[1], atol=1e-3)
+        st = integrate(jnp.asarray(np.stack(accs)), jnp.asarray(np.stack(gyrs)),
+                       jnp.asarray(dtm), jnp.ones(n, bool),
+                       jnp.zeros(6, jnp.float32),
+                       jnp.full(6, 1e-5, jnp.float32), jnp.full(6, 1e-8, jnp.float32))
+
+        preint = PreintData(
+            dR=st.dR, dV=st.dV, dP=st.dP, JRg=st.JRg, JVg=st.JVg,
+            JVa=st.JVa, JPg=st.JPg, JPa=st.JPa, b0=jnp.zeros(6, jnp.float32),
+            sqi=jnp.eye(9, dtype=jnp.float32) * 50.0,
+            sqig=jnp.eye(3, dtype=jnp.float32) * 100.0,
+            sqia=jnp.eye(3, dtype=jnp.float32) * 100.0,
+            dt=jnp.asarray(dT, jnp.float32))
+        prior = Prior15(R=jnp.asarray(Rwb[0]), t=jnp.asarray(twb[0]),
+                        v=jnp.asarray(vel0), bg=jnp.zeros(3, jnp.float32),
+                        ba=jnp.zeros(3, jnp.float32),
+                        H=jnp.eye(15, dtype=jnp.float32) * 1e4,
+                        valid=jnp.asarray(True))
+        prev = FrameVIState(R=jnp.asarray(Rwb[0]), t=jnp.asarray(twb[0]),
+                            v=jnp.asarray(vel0), bg=jnp.zeros(3, jnp.float32),
+                            ba=jnp.zeros(3, jnp.float32))
+        # perturbed current state
+        dR = np.asarray(so3.exp(jnp.asarray(np.float32([0.01, 0.02, -0.01]))))
+        curr = FrameVIState(
+            R=jnp.asarray((Rwb[1] @ dR).astype(np.float32)),
+            t=jnp.asarray(twb[1] + np.float32([0.04, -0.02, 0.05])),
+            v=jnp.asarray(vel1 + np.float32([0.1, 0, -0.1])),
+            bg=jnp.zeros(3, jnp.float32), ba=jnp.zeros(3, jnp.float32))
+
+        c, inlier, n_in, new_prior = pose_inertial_optimization(
+            curr, prev, preint, prior, jnp.asarray(points), jnp.asarray(uv),
+            jnp.ones(60, bool), jnp.zeros(60, bool),
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+            CAM)
+        np.testing.assert_allclose(np.asarray(c.t), twb[1], atol=5e-3)
+        np.testing.assert_allclose(np.asarray(c.v), vel1, atol=5e-2)
+        assert int(n_in) >= 55
+        assert bool(new_prior.valid)
+        evals = np.linalg.eigvalsh(np.asarray(new_prior.H, np.float64))
+        assert evals.min() > -1e-3
+
+
+class TestMarginalize:
+    def test_schur_identity(self):
+        A = RNG.randn(30, 30).astype(np.float64)
+        H = A @ A.T
+        Hm = np.asarray(marginalize_schur(jnp.asarray(H), 15))
+        # ground truth dense Schur
+        ref = H[15:, 15:] - H[15:, :15] @ np.linalg.inv(H[:15, :15]) @ H[:15, 15:]
+        np.testing.assert_allclose(Hm, ref, atol=1e-6 * np.abs(ref).max())
