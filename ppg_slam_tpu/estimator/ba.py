@@ -1,0 +1,499 @@
+"""BA entry points: snapshot the worldmap into SoA problems, solve, write back.
+
+TPU counterparts of the reference's static Optimizer::* entry points
+(SURVEY.md §2.4): each function gathers the reference's exact window/fixed-set
+selection into a padded BAProblem, runs the jitted batched GN/LM solver
+(ba_core.solve_ba) and applies the reference's post-passes (chi2 observation
+erasure, MapEdge re-validation, coline outlier culling).
+
+Flavors:
+  * local_bundle_adjustment     — OptimizerLBA.cpp:35-329 (LM l0=100, 10 its,
+    Cauchy reproj sqrt(5.991), Huber coline sqrt(7.815))
+  * local_inertial_ba           — OptimizerLBA.cpp:354-846 (<=50-KF temporal
+    window, <=200 single fixed observers, l0=1e-2/1e0, depth-aware chi2)
+  * global_bundle_adjustment    — OptimizerGBA.cpp:24-289 (results to the GBA
+    scratch fields when loop_kf != 0)
+  * full_inertial_ba            — OptimizerGBA.cpp:291-683 (bInit: shared bias
+    emulated with rigid random-walk links; priors on the last KF)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..worldmap.elements import MapColine, MapPoint
+from ..worldmap.frame import KeyFrame, Rig
+from ..worldmap.map import Map
+from .ba_core import BAOptions, BAProblem, KFStates, empty_problem, solve_ba
+
+CHI2_MONO = 5.991
+
+
+def _pow2(n: int, lo: int = 64) -> int:
+    n = max(n, 1)
+    return max(lo, 1 << (n - 1).bit_length())
+
+
+def _sqrt_info_psd(M: np.ndarray) -> np.ndarray:
+    """PSD-projected inverse square root used for whitening (the reference
+    PSD-projects Info = C^-1, G2oEdge.cpp EdgeInertial ctor)."""
+    M = 0.5 * (M + M.T).astype(np.float64)
+    info = np.linalg.inv(M + 1e-14 * np.eye(len(M)))
+    w, V = np.linalg.eigh(0.5 * (info + info.T))
+    w = np.clip(w, 0.0, None)
+    return ((V * np.sqrt(w)) @ V.T).astype(np.float32)
+
+
+def _body_states(kfs: List[KeyFrame], rig: Rig) -> KFStates:
+    R = np.stack([kf.imu_rotation() for kf in kfs])
+    t = np.stack([kf.imu_position() for kf in kfs])
+    v = np.stack([kf.velocity for kf in kfs])
+    bg = np.stack([kf.bias[:3] for kf in kfs])
+    ba = np.stack([kf.bias[3:] for kf in kfs])
+    return KFStates(jnp.asarray(R), jnp.asarray(t), jnp.asarray(v),
+                    jnp.asarray(bg), jnp.asarray(ba))
+
+
+def _write_back_poses(kfs: List[KeyFrame], states: KFStates, rig: Rig,
+                      free: np.ndarray, velocities: bool) -> None:
+    R = np.asarray(states.R)
+    t = np.asarray(states.t)
+    v = np.asarray(states.v)
+    bg = np.asarray(states.bg)
+    ba = np.asarray(states.ba)
+    for i, kf in enumerate(kfs):
+        if not free[i]:
+            continue
+        Rbw = R[i].T
+        tbw = -Rbw @ t[i]
+        kf.set_pose(rig.Rcb @ Rbw, rig.Rcb @ tbw + rig.tcb)
+        if velocities:
+            kf.velocity = v[i].copy()
+            kf.bias = np.concatenate([bg[i], ba[i]]).astype(np.float32)
+
+
+def _gather_reproj(kfs: List[KeyFrame], kf_index: Dict[int, int],
+                   mps: List[MapPoint], mp_index: Dict[int, int]
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, list]:
+    """Observation triplets (kf_slot, mp_slot, uv) over the local window."""
+    r_kf, r_mp, r_uv, refs = [], [], [], []
+    for mp in mps:
+        j = mp_index[mp.mnId]
+        for kf, idx in mp.observations.items():
+            i = kf_index.get(kf.mnId)
+            if i is None or kf.is_bad():
+                continue
+            r_kf.append(i)
+            r_mp.append(j)
+            r_uv.append(kf.kp[idx])
+            refs.append((kf, mp, idx))
+    if not r_kf:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros((0, 2), np.float32), [])
+    return (np.asarray(r_kf, np.int32), np.asarray(r_mp, np.int32),
+            np.asarray(r_uv, np.float32), refs)
+
+
+def _gather_colines(wmap: Map, mp_index: Dict[int, int]
+                    ) -> Tuple[np.ndarray, np.ndarray, list]:
+    idx, w, refs = [], [], []
+    for mc in wmap.map_colines:
+        if mc.is_bad() or not mc.valid:
+            continue
+        a = mp_index.get(mc.mp_s.mnId)
+        b = mp_index.get(mc.mp_m.mnId)
+        c = mp_index.get(mc.mp_e.mnId)
+        if a is None or b is None or c is None:
+            continue
+        idx.append((a, b, c))
+        w.append(mc.ave_weight())
+        refs.append(mc)
+    if not idx:
+        return np.zeros((0, 3), np.int32), np.zeros(0, np.float32), []
+    return np.asarray(idx, np.int32), np.asarray(w, np.float32), refs
+
+
+def _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w, links=None, priors=None,
+                 bias_priors=None) -> BAProblem:
+    O = _pow2(len(r_kf))
+    C = _pow2(len(c_idx), lo=16)
+    L = _pow2(len(links[0]) if links else 1, lo=4)
+    P = 1
+    B = _pow2(len(bias_priors[0]) if bias_priors else 1, lo=1)
+    prob = empty_problem(n_obs=O, n_col=C, n_links=L, n_priors=P, n_bp=B)
+
+    def put(arr, vals, valid_name=None):
+        a = np.asarray(prob._asdict()[arr]).copy()
+        n = len(vals)
+        if n:
+            a[:n] = vals
+        return a
+
+    upd = {}
+    n = len(r_kf)
+    upd["r_kf"] = put("r_kf", r_kf)
+    upd["r_mp"] = put("r_mp", r_mp)
+    upd["r_uv"] = put("r_uv", r_uv)
+    rv = np.zeros(O, bool)
+    rv[:n] = True
+    upd["r_valid"] = rv
+    nc = len(c_idx)
+    upd["c_idx"] = put("c_idx", c_idx)
+    upd["c_w"] = put("c_w", c_w)
+    cv = np.zeros(C, bool)
+    cv[:nc] = True
+    upd["c_valid"] = cv
+    if links:
+        (i_kf1, i_kf2, dR, dV, dP, JRg, JVg, JVa, JPg, JPa, b0, sqi, dt,
+         huber, sqig, sqia) = links
+        nl = len(i_kf1)
+        for name, vals in (("i_kf1", i_kf1), ("i_kf2", i_kf2), ("i_dR", dR),
+                           ("i_dV", dV), ("i_dP", dP), ("i_JRg", JRg),
+                           ("i_JVg", JVg), ("i_JVa", JVa), ("i_JPg", JPg),
+                           ("i_JPa", JPa), ("i_b0", b0), ("i_sqi", sqi),
+                           ("i_dt", dt), ("i_huber", huber),
+                           ("rw_sqig", sqig), ("rw_sqia", sqia)):
+            upd[name] = put(name, vals)
+        lv = np.zeros(L, bool)
+        lv[:nl] = True
+        upd["i_valid"] = lv
+        upd["rw_valid"] = lv.copy()
+    if bias_priors:
+        bp_kf, bp_wg, bp_wa = bias_priors
+        nb = len(bp_kf)
+        upd["bp_kf"] = put("bp_kf", bp_kf)
+        upd["bp_wg"] = put("bp_wg", bp_wg)
+        upd["bp_wa"] = put("bp_wa", bp_wa)
+        bv = np.zeros(B, bool)
+        bv[:nb] = True
+        upd["bp_valid"] = bv
+    return prob._replace(**{k: jnp.asarray(v) for k, v in upd.items()})
+
+
+def _gather_links(kfs: List[KeyFrame], kf_index: Dict[int, int],
+                  soft_prev_ids: Optional[set] = None,
+                  info_scale_soft: float = 1e-2):
+    """Temporal preintegration links within the window (consecutive KFs).
+
+    Links whose previous KF is in `soft_prev_ids` (the boundary link into the
+    fixed past) get information x 1e-2 + Huber(sqrt 16.92), matching
+    OptimizerLBA.cpp:583-589."""
+    cols = [[] for _ in range(16)]
+    for kf in kfs:
+        prev = kf.prev_kf
+        if prev is None or kf.preintegrated is None:
+            continue
+        i = kf_index.get(prev.mnId)
+        j = kf_index.get(kf.mnId)
+        if i is None or j is None:
+            continue
+        p = kf.preintegrated
+        st = p.state
+        C = np.asarray(st.C, np.float64)
+        sqi = _sqrt_info_psd(C[:9, :9])
+        is_last = soft_prev_ids is not None and prev.mnId in soft_prev_ids
+        if is_last:
+            sqi = sqi * np.sqrt(info_scale_soft)
+        vals = [i, j, np.asarray(st.dR), np.asarray(st.dV), np.asarray(st.dP),
+                np.asarray(st.JRg), np.asarray(st.JVg), np.asarray(st.JVa),
+                np.asarray(st.JPg), np.asarray(st.JPa), p.b.copy(), sqi,
+                np.float32(st.dT), bool(is_last),
+                _sqrt_info_psd(C[9:12, 9:12]),
+                _sqrt_info_psd(C[12:15, 12:15])]
+        for c, v in zip(cols, vals):
+            c.append(v)
+    if not cols[0]:
+        return None
+    out = []
+    for k, c in enumerate(cols):
+        out.append(np.asarray(c))
+    return out
+
+
+def _apply_outlier_pass(info, refs, close_depth_aware: bool = False,
+                        close_flags: Optional[np.ndarray] = None) -> int:
+    """Erase observations with chi2 > 5.991 or negative depth (the LBA
+    post-pass, OptimizerLBA.cpp:259-?, :743-750)."""
+    chi2 = np.asarray(info["obs_chi2"])[: len(refs)]
+    depth = np.asarray(info["obs_depth"])[: len(refs)]
+    n_bad = 0
+    for k, (kf, mp, idx) in enumerate(refs):
+        th = CHI2_MONO
+        if close_depth_aware and close_flags is not None and close_flags[k]:
+            th = 1.5 * CHI2_MONO
+        if chi2[k] > th or depth[k] <= 0:
+            mp.erase_observation(kf)
+            n_bad += 1
+    return n_bad
+
+
+def _coline_edge_cleanup(wmap: Map, mps: List[MapPoint]) -> None:
+    """Post-BA edge/coline validity sweep (OptimizerLBA.cpp:306-326)."""
+    seen = set()
+    for mp in mps:
+        if mp.is_bad():
+            continue
+        for me in mp.get_edges():
+            if me.mnId not in seen:
+                seen.add(me.mnId)
+                me.check_valid()
+        mp.remove_coline_outliers()
+
+
+# ---------------------------------------------------------------------------
+# entry points
+# ---------------------------------------------------------------------------
+
+def local_bundle_adjustment(kf: KeyFrame, wmap: Map,
+                            iters: int = 10) -> None:
+    """Visual local BA (OptimizerLBA.cpp:35-329)."""
+    rig = wmap.rig
+    local = [kf] + [k for k in kf.ordered_connected if not k.is_bad()]
+    local_ids = {k.mnId for k in local}
+    mps: List[MapPoint] = []
+    seen = set()
+    for k in local:
+        for mp in k.map_points:
+            if mp is not None and not mp.is_bad() and mp.mnId not in seen:
+                seen.add(mp.mnId)
+                mps.append(mp)
+    fixed: List[KeyFrame] = []
+    fixed_ids = set()
+    for mp in mps:
+        for k in mp.observations:
+            if k.mnId not in local_ids and k.mnId not in fixed_ids \
+                    and not k.is_bad():
+                fixed_ids.add(k.mnId)
+                fixed.append(k)
+    kfs = local + fixed
+    if len(kfs) < 2 or not mps:
+        return
+    kf_index = {k.mnId: i for i, k in enumerate(kfs)}
+    mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
+
+    states = _body_states(kfs, rig)
+    points = jnp.asarray(np.stack([mp.pos for mp in mps]))
+    r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps, mp_index)
+    c_idx, c_w, _ = _gather_colines(wmap, mp_index)
+    prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w)
+
+    kf_dof = np.zeros((len(kfs), 15), bool)
+    kf_dof[: len(local), :6] = True
+    # origin KF stays fixed
+    for i, k in enumerate(local):
+        if wmap.kf_origin is not None and k.mnId == wmap.kf_origin.mnId:
+            kf_dof[i] = False
+    mp_free = np.ones(len(mps), bool)
+
+    opts = BAOptions(iters=iters, lambda0=100.0, reproj_kernel="cauchy")
+    st, pts, info = solve_ba(states, points, prob, jnp.asarray(kf_dof),
+                             jnp.asarray(mp_free), jnp.asarray(rig.Rcb),
+                             jnp.asarray(rig.tcb), rig.cam, opts)
+
+    _apply_outlier_pass(info, refs)
+    free = kf_dof.any(axis=1)
+    _write_back_poses(kfs, st, rig, free, velocities=False)
+    pts_np = np.asarray(pts)
+    for j, mp in enumerate(mps):
+        if not mp.is_bad():
+            mp.pos = pts_np[j].copy()
+            mp.update_normal_and_depth()
+    _coline_edge_cleanup(wmap, mps)
+    wmap.info_map_change()
+
+
+def local_inertial_ba(kf: KeyFrame, wmap: Map, b_large: bool = False,
+                      b_rec_init: bool = False, iters: int = 10) -> None:
+    """Visual-inertial local BA (OptimizerLBA.cpp:354-846)."""
+    rig = wmap.rig
+    max_opt = 50
+    nd = min(wmap.n_keyframes() - 2, max_opt)
+    window: List[KeyFrame] = [kf]
+    while len(window) < nd and window[-1].prev_kf is not None:
+        window.append(window[-1].prev_kf)
+    local_ids = {k.mnId for k in window}
+
+    mps: List[MapPoint] = []
+    seen = set()
+    for k in window:
+        for mp in k.map_points:
+            if mp is not None and not mp.is_bad() and mp.mnId not in seen:
+                seen.add(mp.mnId)
+                mps.append(mp)
+
+    fixed: List[KeyFrame] = []
+    fixed_ids = set()
+    if window[-1].prev_kf is not None:
+        fixed.append(window[-1].prev_kf)
+        fixed_ids.add(window[-1].prev_kf.mnId)
+    else:
+        # no previous: fix the oldest window KF itself
+        oldest = window.pop()
+        local_ids.discard(oldest.mnId)
+        fixed.append(oldest)
+        fixed_ids.add(oldest.mnId)
+    for mp in mps:  # ONE fixed observer per point (reference quirk)
+        if len(fixed) >= 200:
+            break
+        for k in mp.observations:
+            if k.mnId not in local_ids and k.mnId not in fixed_ids \
+                    and not k.is_bad():
+                fixed_ids.add(k.mnId)
+                fixed.append(k)
+                break
+    kfs = window + fixed
+    if not mps or len(kfs) < 2:
+        return
+    kf_index = {k.mnId: i for i, k in enumerate(kfs)}
+    mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
+
+    states = _body_states(kfs, rig)
+    points = jnp.asarray(np.stack([mp.pos for mp in mps]))
+    r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps, mp_index)
+    c_idx, c_w, _ = _gather_colines(wmap, mp_index)
+    # temporal links over window + the link into the fixed previous KF
+    soft = {fixed[0].mnId} if fixed else set()
+    links = _gather_links(window, kf_index, soft_prev_ids=soft)
+    prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w, links=links)
+
+    kf_dof = np.zeros((len(kfs), 15), bool)
+    kf_dof[: len(window), :] = True
+    mp_free = np.ones(len(mps), bool)
+
+    opts = BAOptions(iters=iters, lambda0=(1e-2 if b_large else 1e0),
+                     reproj_kernel="cauchy")
+    st, pts, info = solve_ba(states, points, prob, jnp.asarray(kf_dof),
+                             jnp.asarray(mp_free), jnp.asarray(rig.Rcb),
+                             jnp.asarray(rig.tcb), rig.cam, opts)
+
+    # depth-aware chi2 (close = tracked depth < 10, :743-750); we use the
+    # optimized depth as the closeness proxy
+    depth = np.asarray(info["obs_depth"])[: len(refs)]
+    close = depth < 10.0
+    _apply_outlier_pass(info, refs, close_depth_aware=True, close_flags=close)
+    free = kf_dof.any(axis=1)
+    _write_back_poses(kfs, st, rig, free, velocities=True)
+    pts_np = np.asarray(pts)
+    for j, mp in enumerate(mps):
+        if not mp.is_bad():
+            mp.pos = pts_np[j].copy()
+            mp.update_normal_and_depth()
+    _coline_edge_cleanup(wmap, mps)
+    wmap.info_map_change()
+
+
+def global_bundle_adjustment(wmap: Map, iters: int = 20, loop_kf: int = 0,
+                             robust: bool = True) -> None:
+    """Visual-only GBA (OptimizerGBA.cpp:24-289)."""
+    rig = wmap.rig
+    kfs = wmap.all_keyframes()
+    mps = wmap.all_map_points()
+    if len(kfs) < 2 or not mps:
+        return
+    kfs.sort(key=lambda k: k.mnId)
+    kf_index = {k.mnId: i for i, k in enumerate(kfs)}
+    mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
+    states = _body_states(kfs, rig)
+    points = jnp.asarray(np.stack([mp.pos for mp in mps]))
+    r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps, mp_index)
+    c_idx, c_w, _ = _gather_colines(wmap, mp_index)
+    prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w)
+
+    kf_dof = np.zeros((len(kfs), 15), bool)
+    kf_dof[:, :6] = True
+    kf_dof[0] = False  # origin fixed
+    opts = BAOptions(iters=iters, lambda0=1e-5,
+                     reproj_kernel="cauchy" if robust else "none")
+    st, pts, info = solve_ba(states, points, prob, jnp.asarray(kf_dof),
+                             jnp.ones(len(mps), bool), jnp.asarray(rig.Rcb),
+                             jnp.asarray(rig.tcb), rig.cam, opts)
+
+    R = np.asarray(st.R)
+    t = np.asarray(st.t)
+    pts_np = np.asarray(pts)
+    if loop_kf == 0:
+        _write_back_poses(kfs, st, rig, np.ones(len(kfs), bool),
+                          velocities=False)
+        for j, mp in enumerate(mps):
+            mp.pos = pts_np[j].copy()
+            mp.update_normal_and_depth()
+        _coline_edge_cleanup(wmap, mps)
+    else:
+        for i, kf in enumerate(kfs):
+            Rbw = R[i].T
+            tbw = -Rbw @ t[i]
+            kf.gba_Rcw = rig.Rcb @ Rbw
+            kf.gba_tcw = rig.Rcb @ tbw + rig.tcb
+            kf.ba_global_for_kf = loop_kf
+        for j, mp in enumerate(mps):
+            mp.gba_pos = pts_np[j].copy()
+            mp.ba_global_for_kf = loop_kf
+    wmap.info_map_change()
+
+
+def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
+                     b_init: bool = False, prior_g: float = 1e2,
+                     prior_a: float = 1e6) -> None:
+    """Visual-inertial global BA (OptimizerGBA.cpp:291-683)."""
+    rig = wmap.rig
+    kfs = sorted(wmap.all_keyframes(), key=lambda k: k.mnId)
+    mps = wmap.all_map_points()
+    if len(kfs) < 2 or not mps:
+        return
+    kf_index = {k.mnId: i for i, k in enumerate(kfs)}
+    mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
+    states = _body_states(kfs, rig)
+    points = jnp.asarray(np.stack([mp.pos for mp in mps]))
+    r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps, mp_index)
+    c_idx, c_w, _ = _gather_colines(wmap, mp_index)
+    links = _gather_links(kfs, kf_index)
+    if links is not None and b_init:
+        # single shared bias: make the random-walk links rigid
+        links[14] = np.broadcast_to(np.eye(3, dtype=np.float32) * 1e4,
+                                    links[14].shape).copy()
+        links[15] = np.broadcast_to(np.eye(3, dtype=np.float32) * 1e4,
+                                    links[15].shape).copy()
+    # bias priors on the LAST keyframe (OptimizerGBA.cpp:466-472)
+    bias_priors = ([kf_index[kfs[-1].mnId]], [prior_g], [prior_a])
+    prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w, links=links,
+                        bias_priors=bias_priors)
+
+    kf_dof = np.zeros((len(kfs), 15), bool)
+    kf_dof[:, :] = True
+    kf_dof[0, :6] = False  # origin pose fixed; velocity/bias free
+    opts = BAOptions(iters=min(iters, 25), lambda0=1e-5,
+                     reproj_kernel="huber")
+    st, pts, info = solve_ba(states, points, prob, jnp.asarray(kf_dof),
+                             jnp.ones(len(mps), bool), jnp.asarray(rig.Rcb),
+                             jnp.asarray(rig.tcb), rig.cam, opts)
+
+    pts_np = np.asarray(pts)
+    if loop_kf == 0:
+        _write_back_poses(kfs, st, rig, np.ones(len(kfs), bool),
+                          velocities=True)
+        for j, mp in enumerate(mps):
+            mp.pos = pts_np[j].copy()
+            mp.update_normal_and_depth()
+        _coline_edge_cleanup(wmap, mps)
+    else:
+        R = np.asarray(st.R)
+        t = np.asarray(st.t)
+        v = np.asarray(st.v)
+        bg = np.asarray(st.bg)
+        ba = np.asarray(st.ba)
+        for i, kf in enumerate(kfs):
+            Rbw = R[i].T
+            tbw = -Rbw @ t[i]
+            kf.gba_Rcw = rig.Rcb @ Rbw
+            kf.gba_tcw = rig.Rcb @ tbw + rig.tcb
+            kf.gba_vel = v[i].copy()
+            kf.gba_bias = np.concatenate([bg[i], ba[i]]).astype(np.float32)
+            kf.ba_global_for_kf = loop_kf
+        for j, mp in enumerate(mps):
+            mp.gba_pos = pts_np[j].copy()
+            mp.ba_global_for_kf = loop_kf
+    wmap.info_map_change()
