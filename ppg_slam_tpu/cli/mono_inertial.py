@@ -1,0 +1,91 @@
+"""Dataset drivers: mono_inertial_{euroc,tumvi,uma}.
+
+CLI-compatible with the reference binaries (positional args: vocabulary,
+settings, net weights, dataset folder — try_euroc.cpp:17-26), producing
+TUM-format CameraTrajectory.txt / KeyFrameTrajectory.txt in the working
+directory on completion.
+
+Usage:
+    python -m ppg_slam_tpu.cli.mono_inertial euroc VOC SETTINGS WEIGHTS DATA
+    python -m ppg_slam_tpu.cli.mono_inertial tumvi VOC SETTINGS WEIGHTS DATA
+    python -m ppg_slam_tpu.cli.mono_inertial uma   VOC SETTINGS WEIGHTS DATA
+Optional flags: --out-dir DIR --max-frames N --realtime-factor F
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def run(dataset_kind: str, voc: str, settings: str, weights: str,
+        data: str, out_dir: str = ".", max_frames: int = 0,
+        realtime_factor: float = 0.0, progress_every: int = 100) -> dict:
+    import cv2
+
+    from ..datasets import load_euroc, load_tumvi, load_uma
+    from ..pipeline import System
+
+    loader = {"euroc": load_euroc, "tumvi": load_tumvi, "uma": load_uma}[
+        dataset_kind]
+    images, stamps, imu = loader(data)
+    if max_frames:
+        images = images[:max_frames]
+        stamps = stamps[:max_frames]
+
+    slam = System(voc, settings, weights_path=weights or None)
+    t_last_imu = -np.inf
+    t_track = []
+    for k, (path, ts) in enumerate(zip(images, stamps)):
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            print(f"warning: missing image {path}", file=sys.stderr)
+            continue
+        sel = (imu[:, 6] > t_last_imu) & (imu[:, 6] <= ts)
+        t_last_imu = ts
+        t0 = time.perf_counter()
+        slam.track_monocular(img, float(ts), imu[sel])
+        dt = time.perf_counter() - t0
+        t_track.append(dt)
+        if realtime_factor > 0:
+            budget = (stamps[min(k + 1, len(stamps) - 1)] - ts) \
+                / realtime_factor
+            if dt < budget:
+                time.sleep(budget - dt)
+        if progress_every and k % progress_every == 0:
+            print(f"[{k}/{len(images)}] state={slam.state} "
+                  f"kfs={slam.map.n_keyframes()} "
+                  f"mps={slam.map.n_map_points()} track={dt*1e3:.1f}ms")
+    slam.shutdown(out_dir)
+    arr = np.asarray(t_track)
+    stats = dict(frames=len(arr), mean_ms=float(arr.mean() * 1e3),
+                 median_ms=float(np.median(arr) * 1e3),
+                 p95_ms=float(np.percentile(arr, 95) * 1e3),
+                 keyframes=slam.map.n_keyframes(),
+                 map_points=slam.map.n_map_points(),
+                 loops=slam.loop_closing.n_loops_closed)
+    print(stats)
+    return stats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("kind", choices=["euroc", "tumvi", "uma"])
+    ap.add_argument("vocabulary")
+    ap.add_argument("settings")
+    ap.add_argument("weights")
+    ap.add_argument("dataset")
+    ap.add_argument("--out-dir", default=".")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--realtime-factor", type=float, default=0.0)
+    a = ap.parse_args()
+    run(a.kind, a.vocabulary, a.settings, a.weights, a.dataset,
+        out_dir=a.out_dir, max_frames=a.max_frames,
+        realtime_factor=a.realtime_factor)
+
+
+if __name__ == "__main__":
+    main()

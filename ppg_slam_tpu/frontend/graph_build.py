@@ -49,7 +49,39 @@ def suppress_candidates(
     probe_mask: (K, K) bool gate (symmetric); dist/ang: (K, K).
     Returns (cands, alive): (C, 2) int32 candidate endpoint indices in
     construction order and their post-suppression liveness.
+
+    Dispatches to the native C++ builder when available (ppg_slam_tpu.native);
+    this Python implementation is the behavioral spec and fallback.
     """
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        return _suppress_candidates_native(lib, probe_mask, dist, ang)
+    return _suppress_candidates_py(probe_mask, dist, ang)
+
+
+def _suppress_candidates_native(lib, probe_mask, dist, ang):
+    import ctypes
+
+    k = probe_mask.shape[0]
+    max_cands = k * k // 2 + 1
+    pm = np.ascontiguousarray(probe_mask.astype(np.uint8))
+    d = np.ascontiguousarray(dist.astype(np.float32))
+    a = np.ascontiguousarray(ang.astype(np.float32))
+    out_c = np.zeros((max_cands, 2), np.int32)
+    out_a = np.zeros(max_cands, np.uint8)
+    n = lib.ppg_suppress_candidates(
+        pm.ctypes.data_as(ctypes.c_void_p), d.ctypes.data_as(ctypes.c_void_p),
+        a.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(k),
+        out_c.ctypes.data_as(ctypes.c_void_p),
+        out_a.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(max_cands))
+    return out_c[:n].copy(), out_a[:n].astype(bool)
+
+
+def _suppress_candidates_py(
+    probe_mask: np.ndarray, dist: np.ndarray, ang: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
     k = probe_mask.shape[0]
     cands: List[Tuple[int, int]] = []
     is_bad: List[bool] = []

@@ -1,0 +1,167 @@
+"""System facade — the reference System (system/src/System.cpp).
+
+Loads the vocabulary and YAML settings, builds the Map and the three pipeline
+modules, routes frames + IMU, and saves TUM-format trajectories on shutdown.
+The reference runs tracking / local-mapping / loop-closing as threads sharing
+the map under mutexes (SURVEY.md §2.8); this host pipeline runs them
+synchronously by default (deterministic; device programs do the heavy work),
+matching the reference's data flow exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..bow import Vocabulary
+from ..frontend import PPGExtractor
+from ..geometry.cameras import CAM_FISHEYE, CAM_PINHOLE, CameraModel
+from ..worldmap import Map, Rig
+from ..worldmap.elements import MapEdge
+from .local_mapping import LocalMapping
+from .loop_closing import LoopClosing
+from .tracking import Tracking
+
+
+def load_settings(path: str) -> dict:
+    """Parse the reference's OpenCV-YAML settings files (config/*.yaml)."""
+    import cv2
+
+    fs = cv2.FileStorage(path, cv2.FILE_STORAGE_READ)
+    out = {}
+
+    def rd(key, default=None):
+        node = fs.getNode(key)
+        if node.empty():
+            return default
+        if node.isReal() or node.isInt():
+            return node.real()
+        if node.isString():
+            return node.string()
+        return node.mat()
+
+    out["camera_type"] = rd("Camera.type", "PinHole")
+    for k in ("fx", "fy", "cx", "cy", "k1", "k2", "k3", "k4", "p1", "p2",
+              "width", "height", "fps"):
+        out[k] = rd(f"Camera.{k}", 0.0)
+    out["Tbc"] = rd("IMU.T_b_c1")
+    out["noise_gyro"] = rd("IMU.NoiseGyro", 1.7e-4)
+    out["noise_acc"] = rd("IMU.NoiseAcc", 2e-3)
+    out["walk_gyro"] = rd("IMU.GyroWalk", 1.9e-5)
+    out["walk_acc"] = rd("IMU.AccWalk", 3e-3)
+    out["imu_freq"] = rd("IMU.Frequency", 200.0)
+    out["imu_ini_time"] = rd("IMU.IniTime", 8.0)
+    out["view_cos_th"] = rd("ViewCosTh", 0.85)
+    fs.release()
+    return out
+
+
+def camera_from_settings(s: dict) -> CameraModel:
+    if s["camera_type"] == "KannalaBrandt8":
+        return CameraModel(
+            kind=CAM_FISHEYE, fx=s["fx"], fy=s["fy"], cx=s["cx"], cy=s["cy"],
+            dist=(s["k1"], s["k2"], s["k3"], s["k4"]),
+            width=int(s["width"]), height=int(s["height"]),
+            fps=s["fps"] or 20.0)
+    return CameraModel(
+        kind=CAM_PINHOLE, fx=s["fx"], fy=s["fy"], cx=s["cx"], cy=s["cy"],
+        dist=(s["k1"], s["k2"], s["p1"], s["p2"]),
+        width=int(s["width"]), height=int(s["height"]), fps=s["fps"] or 20.0)
+
+
+class System:
+    def __init__(self, vocabulary_path: Optional[str], settings_path: str,
+                 weights_path: Optional[str] = None, use_viewer: bool = False,
+                 active_loop_closing: bool = True):
+        s = load_settings(settings_path)
+        cam = camera_from_settings(s)
+        MapEdge.view_cos_th = float(s["view_cos_th"])
+        Map.imu_ini_time = float(s["imu_ini_time"])
+        rig = Rig(cam, Tbc=s["Tbc"], noise_gyro=s["noise_gyro"],
+                  noise_acc=s["noise_acc"], walk_gyro=s["walk_gyro"],
+                  walk_acc=s["walk_acc"], freq=s["imu_freq"])
+        voc = (Vocabulary.load(vocabulary_path)
+               if vocabulary_path and os.path.exists(vocabulary_path)
+               else None)
+        self.map = Map(rig, vocabulary=voc)
+        self.extractor = PPGExtractor(cam, weights_path)
+        self.loop_closing = LoopClosing(self.map,
+                                        active=active_loop_closing)
+        self.local_mapping = LocalMapping(self.map,
+                                          loop_closer=self.loop_closing)
+        self.tracking = Tracking(self.map, self.extractor,
+                                 local_mapper=self.local_mapping)
+        self.local_mapping.tracking = self.tracking
+        self.loop_closing.local_mapper = self.local_mapping
+        self.use_viewer = use_viewer
+
+    # ------------------------------------------------------------------
+    def track_monocular(self, image: np.ndarray, timestamp: float,
+                        imu: Optional[np.ndarray] = None):
+        """System::TrackMonocular (System.cpp:122-143). imu rows:
+        (ax, ay, az, wx, wy, wz, t)."""
+        if imu is not None and len(imu):
+            self.tracking.grab_imu(imu)
+        return self.tracking.grab_image(image, timestamp)
+
+    @property
+    def state(self) -> int:
+        return self.tracking.state
+
+    # ------------------------------------------------------------------
+    # trajectory writers (reference Viewer.cpp:853-959, TUM body-frame format)
+    # ------------------------------------------------------------------
+    def save_trajectory(self, path: str) -> None:
+        from ..geometry import so3
+        import jax.numpy as jnp
+
+        tr = self.tracking
+        rig = self.map.rig
+        with open(path, "w") as f:
+            for (Rcr, tcr), ref, ts, lost in zip(
+                    tr.rel_poses, tr.references, tr.frame_times,
+                    tr.lost_flags):
+                if lost:
+                    continue
+                kf = ref
+                Rrw, trw = np.eye(3, dtype=np.float32), np.zeros(
+                    3, np.float32)
+                while kf.is_bad() and kf.Tcp is not None:
+                    Rcp, tcp = kf.Tcp
+                    Rrw = Rcp @ Rrw  # accumulate relative chain
+                    trw = Rcp @ trw + tcp
+                    kf = kf.prev_kf
+                Rcw = Rcr @ Rrw @ kf.Rcw
+                tcw = Rcr @ (Rrw @ kf.tcw + trw) + tcr
+                # body pose Twb = (Tbc * Tcw)^-1
+                Rbw = rig.Rbc @ Rcw
+                tbw = rig.Rbc @ tcw + rig.tbc
+                Rwb = Rbw.T
+                twb = -Rwb @ tbw
+                q = np.asarray(so3.matrix_to_quat(
+                    jnp.asarray(Rwb.astype(np.float32))))
+                f.write(f"{ts:.9f} {twb[0]:.9f} {twb[1]:.9f} {twb[2]:.9f} "
+                        f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}\n")
+
+    def save_keyframe_trajectory(self, path: str) -> None:
+        from ..geometry import so3
+        import jax.numpy as jnp
+
+        rig = self.map.rig
+        kfs = sorted(self.map.all_keyframes(), key=lambda k: k.mnId)
+        with open(path, "w") as f:
+            for kf in kfs:
+                Rwb = kf.imu_rotation()
+                twb = kf.imu_position()
+                q = np.asarray(so3.matrix_to_quat(
+                    jnp.asarray(Rwb.astype(np.float32))))
+                f.write(f"{kf.timestamp:.9f} {twb[0]:.9f} {twb[1]:.9f} "
+                        f"{twb[2]:.9f} {q[0]:.9f} {q[1]:.9f} {q[2]:.9f} "
+                        f"{q[3]:.9f}\n")
+
+    def shutdown(self, out_dir: str = ".") -> None:
+        self.save_trajectory(os.path.join(out_dir, "CameraTrajectory.txt"))
+        self.save_keyframe_trajectory(
+            os.path.join(out_dir, "KeyFrameTrajectory.txt"))

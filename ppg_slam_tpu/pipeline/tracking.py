@@ -1,0 +1,1030 @@
+"""Per-frame tracking — the reference MSTracking (system/src/Tracking.cpp).
+
+State machine NO_IMAGES_YET -> NOT_INITIALIZED -> OK -> RECENTLY_LOST -> LOST
+(Tracking.h:25-31). Per-frame flow mirrors Track() (:251-482): IMU
+preintegration of the queue, monocular initialization, IMU initialization +
+scale refinement scheduling, motion-model / reference-KF / IMU-predicted
+tracking, local-map tracking with PPG ExtendMapMatches, keyframe policy,
+relative-pose trajectory log.
+
+Device work per frame: the PPG extractor (2 programs), one pose optimization
+(pose-only LM or the 2-frame VI filter), both jitted with padded buckets.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..estimator.pose_opt import (
+    FrameVIState,
+    PreintData,
+    Prior15,
+    pose_inertial_optimization,
+    pose_optimization,
+)
+from ..geometry.two_view import make_ransac_sets, two_view_reconstruct
+from ..imu import GRAVITY_VALUE, Preintegrated
+from ..matching import Matcher
+from ..worldmap import Frame, KeyFrame, Map, MapPoint, Rig
+from ..worldmap.elements import MapEdge
+
+# tracking states (Tracking.h:25-31)
+NO_IMAGES_YET = -1
+NOT_INITIALIZED = 0
+OK = 1
+RECENTLY_LOST = 2
+LOST = 3
+
+
+def _pow2(n, lo=64):
+    return max(lo, 1 << (max(n, 1) - 1).bit_length())
+
+
+def _sqrtm_psd_np(H):
+    H = 0.5 * (H + H.T)
+    w, V = np.linalg.eigh(H)
+    w = np.clip(w, 0, None)
+    return ((V * np.sqrt(w)) @ V.T).astype(np.float32)
+
+
+class Tracking:
+    def __init__(self, wmap: Map, extractor, local_mapper=None,
+                 insert_kfs_lost: bool = True):
+        self.map = wmap
+        self.rig: Rig = wmap.rig
+        self.extractor = extractor
+        self.local_mapper = local_mapper
+        self.state = NO_IMAGES_YET
+        self.matcher_cls = Matcher
+        self.insert_kfs_lost = insert_kfs_lost
+
+        self.imu_queue: List[np.ndarray] = []  # rows (ax..az, wx..wz, t)
+        self.preint_from_kf: Optional[Preintegrated] = None
+        self.last_kf: Optional[KeyFrame] = None
+        self.ref_kf: Optional[KeyFrame] = None
+        self.last_frame: Optional[Frame] = None
+        self.current: Optional[Frame] = None
+        self.init_frame: Optional[Frame] = None
+        self.prev_matched: Optional[np.ndarray] = None
+        self.init_matches: Optional[np.ndarray] = None
+        self.ready_to_init = False
+        self.velocity = None  # (R, t) of Tcl motion model
+        self.t_init = 0.0
+        self.time_lost = 0.0
+        self.last_reloc_frame_id = -1000000
+        self.matches_inliers = 0
+        self.map_updated = False
+        self.last_bias = np.zeros(6, np.float32)
+
+        # trajectory log (Tracking.h:90-93)
+        self.rel_poses: List[tuple] = []   # (Rcr, tcr)
+        self.references: List[KeyFrame] = []
+        self.frame_times: List[float] = []
+        self.lost_flags: List[bool] = []
+
+        self.local_keyframes: List[KeyFrame] = []
+        self.local_points: List[MapPoint] = []
+        self.n_resets = 0
+
+    # ------------------------------------------------------------------
+    def grab_imu(self, measurements: np.ndarray) -> None:
+        """measurements rows: (ax, ay, az, wx, wy, wz, t)."""
+        for m in np.atleast_2d(measurements):
+            self.imu_queue.append(np.asarray(m, np.float64))
+
+    def grab_image(self, image: np.ndarray, timestamp: float) -> Frame:
+        feats = self.extractor.extract(image)
+        frame = Frame(feats, timestamp, self.rig)
+        frame.prev_frame = self.last_frame
+        self.current = frame
+        self.track()
+        return frame
+
+    # ------------------------------------------------------------------
+    def track(self) -> None:
+        frame = self.current
+        if self.state != NO_IMAGES_YET and self.last_frame is not None and (
+                self.last_frame.timestamp > frame.timestamp
+                or frame.timestamp > self.last_frame.timestamp + 1.0):
+            self.imu_queue.clear()
+            self.reset()
+            return
+        if self.last_kf is not None:
+            frame.bias = self.last_kf.bias.copy()
+        if self.state == NO_IMAGES_YET:
+            self.state = NOT_INITIALIZED
+        self.preintegrate_imu()
+
+        if self.state == NOT_INITIALIZED:
+            self.monocular_initialization()
+            if self.state == OK:
+                self._log_pose(frame)
+            else:
+                self.last_frame = frame
+            return
+
+        # IMU initialization scheduling (Track() :304-325)
+        if not self.map.imu_initialized:
+            self.initialize_imu(prior_g=1e2, prior_a=1e10, fiba=True)
+        else:
+            if self.last_kf is not None and self.last_kf.prev_kf is not None:
+                dist = np.linalg.norm(self.last_kf.prev_kf.camera_center()
+                                      - self.last_kf.camera_center())
+                if dist > 0.05:
+                    self.t_init += (self.last_kf.timestamp
+                                    - self.last_kf.prev_kf.timestamp)
+            if not self.map.inertial_ba1 and self.t_init > Map.imu_ini_time:
+                self.map.inertial_ba1 = True
+                self.initialize_imu(prior_g=1.0, prior_a=1e5, fiba=True)
+            nkf = self.map.n_keyframes()
+            if nkf <= 100 and nkf % 20 == 0:
+                self.scale_refinement()
+
+        self.map_updated = self.map.check_map_changed()
+        self._check_replaced_in_last_frame()
+
+        ok = False
+        if not self.map.imu_initialized:
+            if frame.mnId < self.last_reloc_frame_id + 2:
+                ok = self.track_reference_keyframe()
+            else:
+                ok = self.track_with_motion_model()
+                if not ok:
+                    ok = self.track_reference_keyframe()
+        else:
+            ok = self.predict_state_imu()
+        if not ok:
+            self.state = LOST
+            self._maybe_reset_on_lost()
+            return
+
+        if frame.ref_kf is None:
+            frame.ref_kf = self.ref_kf
+        if self.state != LOST and ok:
+            ok = self.track_local_map()
+
+        if self.state != LOST and ok:
+            self.time_lost = frame.timestamp
+            self.state = OK
+        elif self.map.imu_initialized:
+            self.state = RECENTLY_LOST
+            if frame.timestamp - self.time_lost < 5.0:
+                ok = True
+                self.predict_state_imu()
+            else:
+                self.state = LOST
+                self._maybe_reset_on_lost()
+                return
+        else:
+            self.state = LOST
+            self._maybe_reset_on_lost()
+            return
+
+        if self.state != LOST:
+            if self.map.imu_initialized and ok and \
+                    frame.mnId > self.last_reloc_frame_id + 30:
+                self.last_bias = frame.bias.copy()
+            if ok or self.state == RECENTLY_LOST:
+                # motion model
+                if self.last_frame is not None and self.last_frame.has_pose \
+                        and frame.has_pose:
+                    Rlw, tlw = self.last_frame.Rcw, self.last_frame.tcw
+                    Rv = frame.Rcw @ Rlw.T
+                    tv = frame.tcw - Rv @ tlw
+                    self.velocity = (Rv, tv)
+                # clean VO matches
+                for i in range(frame.N):
+                    mp = frame.map_points[i]
+                    if mp is not None and mp.n_observations() < 1:
+                        frame.outlier[i] = False
+                        frame.map_points[i] = None
+                if self.need_new_keyframe() and (
+                        ok or (self.insert_kfs_lost
+                               and self.state == RECENTLY_LOST)):
+                    self.create_new_keyframe()
+                for i in range(frame.N):
+                    if frame.map_points[i] is not None and frame.outlier[i]:
+                        frame.map_points[i] = None
+                self._log_pose(frame)
+            if frame.ref_kf is None:
+                frame.ref_kf = self.ref_kf
+            self.last_frame = frame
+
+        if self.state == LOST:
+            self._maybe_reset_on_lost()
+
+    def _maybe_reset_on_lost(self) -> None:
+        if self.map.n_keyframes() <= 10 or not self.map.imu_initialized:
+            self.reset()
+
+    def _log_pose(self, frame: Frame) -> None:
+        ref = frame.ref_kf
+        if frame.has_pose and ref is not None:
+            Rcr = frame.Rcw @ ref.Rcw.T
+            tcr = frame.tcw - Rcr @ ref.tcw
+            self.rel_poses.append((Rcr, tcr))
+            self.references.append(ref)
+            self.frame_times.append(frame.timestamp)
+            self.lost_flags.append(self.state == LOST)
+        elif self.rel_poses:
+            self.rel_poses.append(self.rel_poses[-1])
+            self.references.append(self.references[-1])
+            self.frame_times.append(self.frame_times[-1])
+            self.lost_flags.append(self.state == LOST)
+
+    def _check_replaced_in_last_frame(self) -> None:
+        if self.last_frame is None:
+            return
+        for i, mp in enumerate(self.last_frame.map_points):
+            if mp is not None and mp.replaced is not None:
+                self.last_frame.map_points[i] = mp.replaced
+
+    # ------------------------------------------------------------------
+    # IMU handling (Tracking.cpp:81-236)
+    # ------------------------------------------------------------------
+    def preintegrate_imu(self) -> None:
+        frame = self.current
+        if frame.prev_frame is None or not self.imu_queue:
+            frame.imu_predicted = False
+            return
+        prev_t = frame.prev_frame.timestamp
+        cur_t = frame.timestamp
+        per = 1.0 / self.rig.freq
+        meas = []
+        while self.imu_queue:
+            m = self.imu_queue[0]
+            if m[6] < prev_t - per:
+                self.imu_queue.pop(0)
+            elif m[6] < cur_t - per:
+                meas.append(m)
+                self.imu_queue.pop(0)
+            else:
+                meas.append(m)
+                break
+        n = len(meas) - 1
+        if n <= 0:
+            return
+        # trapezoid integration with boundary interpolation (:133-171)
+        accs, gyrs, dts = [], [], []
+        for i in range(n):
+            a0, w0, t0 = meas[i][:3], meas[i][3:6], meas[i][6]
+            a1, w1, t1 = meas[i + 1][:3], meas[i + 1][3:6], meas[i + 1][6]
+            if i == 0 and i < n - 1:
+                tab = t1 - t0
+                tini = t0 - prev_t
+                acc = (a0 + a1 - (a1 - a0) * (tini / tab)) * 0.5
+                gyr = (w0 + w1 - (w1 - w0) * (tini / tab)) * 0.5
+                tstep = t1 - prev_t
+            elif i < n - 1:
+                acc = (a0 + a1) * 0.5
+                gyr = (w0 + w1) * 0.5
+                tstep = t1 - t0
+            elif i > 0:
+                tab = t1 - t0
+                tend = t1 - cur_t
+                acc = (a0 + a1 - (a1 - a0) * (tend / tab)) * 0.5
+                gyr = (w0 + w1 - (w1 - w0) * (tend / tab)) * 0.5
+                tstep = cur_t - t0
+            else:  # single interval
+                acc, gyr, tstep = a0, w0, cur_t - prev_t
+            accs.append(acc)
+            gyrs.append(gyr)
+            dts.append(tstep)
+        accs = np.asarray(accs, np.float32)
+        gyrs = np.asarray(gyrs, np.float32)
+        dts = np.asarray(dts, np.float32)
+
+        if self.preint_from_kf is None:
+            self.preint_from_kf = Preintegrated(
+                np.zeros(6), self.rig.nga, self.rig.nga_walk)
+        self.preint_from_kf.integrate_measurements(accs, gyrs, dts)
+        pf = Preintegrated(self.last_frame.bias if self.last_frame is not None
+                           else np.zeros(6), self.rig.nga, self.rig.nga_walk)
+        pf.integrate_measurements(accs, gyrs, dts)
+        frame.preint_frame = pf
+        frame.preint_kf = self.preint_from_kf
+        frame.imu_predicted = True
+
+    def predict_state_imu(self) -> bool:
+        """PredictStateIMU (Tracking.cpp:194-236)."""
+        frame = self.current
+        if frame.prev_frame is None:
+            return False
+        gz = np.float32([0, 0, -GRAVITY_VALUE])
+        if self.map_updated and self.last_kf is not None and \
+                self.preint_from_kf is not None and self.preint_from_kf.dT > 0:
+            kf = self.last_kf
+            p = self.preint_from_kf
+            Rwb1 = kf.imu_rotation()
+            twb1 = kf.imu_position()
+            v1 = kf.velocity
+            t12 = p.dT
+            b = kf.bias
+            Rwb2 = Rwb1 @ p.delta_rotation(b)
+            twb2 = (twb1 + v1 * t12 + 0.5 * t12 * t12 * gz
+                    + Rwb1 @ p.delta_position(b))
+            v2 = v1 + gz * t12 + Rwb1 @ p.delta_velocity(b)
+            frame.set_imu_pose_velocity(Rwb2, twb2, v2)
+            frame.bias = b.copy()
+            frame.has_pose = True
+            return True
+        if not self.map_updated and frame.preint_frame is not None and \
+                frame.preint_frame.dT > 0:
+            lf = self.last_frame
+            p = frame.preint_frame
+            Rwb1 = lf.imu_rotation()
+            twb1 = lf.imu_position()
+            v1 = lf.velocity
+            t12 = p.dT
+            b = lf.bias
+            Rwb2 = Rwb1 @ p.delta_rotation(b)
+            twb2 = (twb1 + v1 * t12 + 0.5 * t12 * t12 * gz
+                    + Rwb1 @ p.delta_position(b))
+            v2 = v1 + gz * t12 + Rwb1 @ p.delta_velocity(b)
+            frame.set_imu_pose_velocity(Rwb2, twb2, v2)
+            frame.bias = b.copy()
+            frame.has_pose = True
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    # monocular initialization (Tracking.cpp:488-731)
+    # ------------------------------------------------------------------
+    def monocular_initialization(self) -> None:
+        frame = self.current
+        if not self.ready_to_init:
+            if frame.N > 50:
+                self.init_frame = frame
+                self.last_frame = frame
+                self.prev_matched = frame.kp_un.copy()
+                self.preint_from_kf = Preintegrated(
+                    np.zeros(6), self.rig.nga, self.rig.nga_walk)
+                frame.preint_kf = self.preint_from_kf
+                self.ready_to_init = True
+            return
+        if frame.N <= 50 or (self.last_frame.timestamp
+                             - self.init_frame.timestamp) > 1.0:
+            self.ready_to_init = False
+            return
+        matcher = self.matcher_cls(self.rig.cam, 0.9)
+        matches12, n = matcher.search_for_initialization(
+            self.init_frame, frame, self.prev_matched, window=50)
+        if n < 50:
+            self.ready_to_init = False
+            return
+
+        # two-view reconstruction on the matched pairs
+        pairs = [(i, j) for i, j in enumerate(matches12) if j >= 0]
+        pad = _pow2(len(pairs), lo=128)
+        p1 = np.zeros((pad, 2), np.float32)
+        p2 = np.zeros((pad, 2), np.float32)
+        valid = np.zeros(pad, bool)
+        for k, (i, j) in enumerate(pairs):
+            p1[k] = self.init_frame.kp_un[i]
+            p2[k] = frame.kp_un[j]
+            valid[k] = True
+        sets = make_ransac_sets(np.arange(len(pairs)), seed=self.n_resets)
+        res = two_view_reconstruct(jnp.asarray(p1), jnp.asarray(p2),
+                                   jnp.asarray(valid), jnp.asarray(sets),
+                                   jnp.asarray(self.rig.cam.K()))
+        if not bool(res.ok):
+            return
+        tri = np.asarray(res.triangulated)
+        X = np.asarray(res.points3d)
+        self.init_frame.set_pose(np.eye(3, dtype=np.float32),
+                                 np.zeros(3, np.float32))
+        self.init_frame.has_pose = True
+        frame.set_pose(np.asarray(res.R21), np.asarray(res.t21))
+        frame.has_pose = True
+        self.create_initial_map(pairs, tri, X)
+
+    def create_initial_map(self, pairs, tri, X) -> None:
+        from ..estimator.ba import global_bundle_adjustment
+
+        frame = self.current
+        wm = self.map
+        kf_ini = KeyFrame(self.init_frame, wm)
+        kf_cur = KeyFrame(frame, wm)
+        kf_ini.bow_vec, kf_ini.feat_vec = (wm.vocabulary.transform(
+            kf_ini.descriptors) if wm.vocabulary else (None, None))
+        kf_cur.bow_vec, kf_cur.feat_vec = (wm.vocabulary.transform(
+            kf_cur.descriptors) if wm.vocabulary else (None, None))
+        wm.add_keyframe(kf_ini)
+        wm.add_keyframe(kf_cur)
+
+        for k, (i, j) in enumerate(pairs):
+            if not tri[k]:
+                continue
+            mp = MapPoint(X[k], kf_cur)
+            kf_ini.add_map_point(mp, i)
+            kf_cur.add_map_point(mp, j)
+            mp.add_observation(kf_ini, i)
+            mp.add_observation(kf_cur, j)
+            mp.compute_distinctive_descriptor()
+            mp.update_normal_and_depth()
+            frame.map_points[j] = mp
+            wm.add_map_point(mp)
+
+        # initial MapEdges + colines on kf_cur (:565-600)
+        oc = kf_cur.camera_center()
+        for lid, (a, b) in enumerate(kf_cur.key_edges):
+            mp1 = kf_cur.get_map_point(int(a))
+            mp2 = kf_cur.get_map_point(int(b))
+            if mp1 is None or mp2 is None or mp1.is_bad() or mp2.is_bad():
+                continue
+            v = mp1.pos - mp2.pos
+            nv = np.linalg.norm(v)
+            v1 = oc - mp1.pos
+            v2 = oc - mp2.pos
+            if nv < 1e-9:
+                continue
+            v = v / nv
+            c1 = abs(float(v @ v1) / max(np.linalg.norm(v1), 1e-9))
+            c2 = abs(float(v @ v2) / max(np.linalg.norm(v2), 1e-9))
+            if c1 > MapEdge.view_cos_th or c2 > MapEdge.view_cos_th:
+                continue
+            me = MapEdge(mp1, mp2)
+            me.add_observation(kf_cur, lid)
+            kf_cur.add_map_edge(me, lid)
+            wm.add_map_edge(me)
+        for (piv, a, b) in kf_cur.colines:
+            mp = kf_cur.get_map_point(int(piv))
+            mp1 = kf_cur.get_map_point(int(a))
+            mp2 = kf_cur.get_map_point(int(b))
+            if mp is None or mp1 is None or mp2 is None:
+                continue
+            mc = mp.add_coline(mp1, mp2, kf_cur)
+            if mc is not None:
+                wm.add_map_coline(mc)
+
+        kf_ini.update_connections()
+        kf_cur.update_connections()
+        global_bundle_adjustment(wm, iters=20)
+
+        # median-depth rescale to 4 / median (:645-690)
+        depths = []
+        for mp in kf_ini.map_points:
+            if mp is not None:
+                depths.append(float(kf_ini.Rcw[2] @ mp.pos + kf_ini.tcw[2]))
+        if not depths or kf_cur.tracked_map_points(1) < 50:
+            self.reset()
+            return
+        median_depth = sorted(depths)[(len(depths) - 1) // 2]
+        if median_depth < 0:
+            self.reset()
+            return
+        inv_md = 4.0 / median_depth
+        kf_cur.set_pose(kf_cur.Rcw, kf_cur.tcw * inv_md)
+        for mp in kf_ini.map_points:
+            if mp is not None:
+                mp.pos = mp.pos * inv_md
+                mp.update_normal_and_depth()
+        for me in wm.map_edges:
+            if not me.is_bad():
+                me.check_valid()
+        for mp in kf_ini.map_points:
+            if mp is not None and not mp.is_bad():
+                mp.remove_coline_outliers()
+
+        kf_cur.prev_kf = kf_ini
+        kf_ini.next_kf = kf_cur
+        kf_cur.preintegrated = self.preint_from_kf
+        self.preint_from_kf = Preintegrated(np.zeros(6), self.rig.nga,
+                                            self.rig.nga_walk)
+
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kf_ini)
+            self.local_mapper.insert_keyframe(kf_cur)
+
+        frame.set_pose(kf_cur.Rcw, kf_cur.tcw)
+        self.last_kf = kf_cur
+        self.ref_kf = kf_cur
+        frame.ref_kf = kf_cur
+        self.last_frame = frame
+        self.local_keyframes = [kf_cur]
+        self.local_points = wm.all_map_points()
+        wm.info_map_change()
+        self.state = OK
+
+    # ------------------------------------------------------------------
+    # frame tracking (Tracking.cpp:752-855)
+    # ------------------------------------------------------------------
+    def _run_pose_optimization(self, frame: Frame) -> int:
+        matched = [(i, mp) for i, mp in enumerate(frame.map_points)
+                   if mp is not None]
+        if len(matched) < 3:
+            return 0
+        pad = _pow2(len(matched), lo=128)
+        X = np.zeros((pad, 3), np.float32)
+        uv = np.zeros((pad, 2), np.float32)
+        valid = np.zeros(pad, bool)
+        for k, (i, mp) in enumerate(matched):
+            X[k] = mp.pos
+            uv[k] = frame.kp_un[i]
+            valid[k] = True
+        Rf, tf, inlier, n_in = pose_optimization(
+            jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw), jnp.asarray(X),
+            jnp.asarray(uv), jnp.asarray(valid), self.rig.cam)
+        frame.set_pose(np.asarray(Rf), np.asarray(tf))
+        frame.has_pose = True
+        inl = np.asarray(inlier)
+        for k, (i, mp) in enumerate(matched):
+            frame.outlier[i] = not bool(inl[k])
+        return int(n_in)
+
+    def _run_pose_inertial(self, frame: Frame, fix_prev: bool) -> int:
+        matched = [(i, mp) for i, mp in enumerate(frame.map_points)
+                   if mp is not None]
+        pad = _pow2(len(matched), lo=128)
+        X = np.zeros((pad, 3), np.float32)
+        uv = np.zeros((pad, 2), np.float32)
+        valid = np.zeros(pad, bool)
+        close = np.zeros(pad, bool)
+        for k, (i, mp) in enumerate(matched):
+            X[k] = mp.pos
+            uv[k] = frame.kp_un[i]
+            valid[k] = True
+            close[k] = 0 < mp.track_depth < 10.0
+        if fix_prev:
+            src = self.last_kf
+            p = self.preint_from_kf
+            prior = Prior15(R=jnp.eye(3), t=jnp.zeros(3), v=jnp.zeros(3),
+                            bg=jnp.zeros(3), ba=jnp.zeros(3),
+                            H=jnp.zeros((15, 15)), valid=jnp.asarray(False))
+            prev = FrameVIState(
+                R=jnp.asarray(src.imu_rotation()),
+                t=jnp.asarray(src.imu_position()),
+                v=jnp.asarray(src.velocity), bg=jnp.asarray(src.bias[:3]),
+                ba=jnp.asarray(src.bias[3:]))
+        else:
+            src = self.last_frame
+            p = frame.preint_frame
+            if src.prior is not None:
+                pr = src.prior
+                prior = Prior15(R=jnp.asarray(pr["R"]), t=jnp.asarray(pr["t"]),
+                                v=jnp.asarray(pr["v"]),
+                                bg=jnp.asarray(pr["bg"]),
+                                ba=jnp.asarray(pr["ba"]),
+                                H=jnp.asarray(pr["H"]),
+                                valid=jnp.asarray(True))
+            else:
+                prior = Prior15(R=jnp.asarray(src.imu_rotation()),
+                                t=jnp.asarray(src.imu_position()),
+                                v=jnp.asarray(src.velocity),
+                                bg=jnp.asarray(src.bias[:3]),
+                                ba=jnp.asarray(src.bias[3:]),
+                                H=jnp.eye(15) * 1e2, valid=jnp.asarray(True))
+            prev = FrameVIState(
+                R=jnp.asarray(src.imu_rotation()),
+                t=jnp.asarray(src.imu_position()),
+                v=jnp.asarray(src.velocity), bg=jnp.asarray(src.bias[:3]),
+                ba=jnp.asarray(src.bias[3:]))
+        if p is None or p.dT <= 0:
+            return self._run_pose_optimization(frame)
+        st = p.state
+        C = np.asarray(st.C, np.float64)
+        preint = PreintData(
+            dR=jnp.asarray(st.dR), dV=jnp.asarray(st.dV),
+            dP=jnp.asarray(st.dP), JRg=jnp.asarray(st.JRg),
+            JVg=jnp.asarray(st.JVg), JVa=jnp.asarray(st.JVa),
+            JPg=jnp.asarray(st.JPg), JPa=jnp.asarray(st.JPa),
+            b0=jnp.asarray(p.b), sqi=jnp.asarray(_sqrtm_psd_inv(C[:9, :9])),
+            sqig=jnp.asarray(_sqrtm_psd_inv(C[9:12, 9:12])),
+            sqia=jnp.asarray(_sqrtm_psd_inv(C[12:15, 12:15])),
+            dt=jnp.asarray(np.float32(st.dT)))
+        curr = FrameVIState(
+            R=jnp.asarray(frame.imu_rotation()),
+            t=jnp.asarray(frame.imu_position()),
+            v=jnp.asarray(frame.velocity), bg=jnp.asarray(frame.bias[:3]),
+            ba=jnp.asarray(frame.bias[3:]))
+        c, inlier, n_in, new_prior = pose_inertial_optimization(
+            curr, prev, preint, prior, jnp.asarray(X), jnp.asarray(uv),
+            jnp.asarray(valid), jnp.asarray(close),
+            jnp.asarray(self.rig.Rcb), jnp.asarray(self.rig.tcb),
+            self.rig.cam, fix_prev=fix_prev)
+        frame.set_imu_pose_velocity(np.asarray(c.R), np.asarray(c.t),
+                                    np.asarray(c.v))
+        frame.bias = np.concatenate([np.asarray(c.bg), np.asarray(c.ba)])
+        frame.has_pose = True
+        frame.prior = dict(R=np.asarray(c.R), t=np.asarray(c.t),
+                           v=np.asarray(c.v), bg=np.asarray(c.bg),
+                           ba=np.asarray(c.ba), H=np.asarray(new_prior.H))
+        inl = np.asarray(inlier)
+        for k, (i, mp) in enumerate(matched):
+            frame.outlier[i] = not bool(inl[k])
+        return int(n_in)
+
+    def track_reference_keyframe(self) -> bool:
+        frame = self.current
+        if self.ref_kf is None:
+            return False
+        if frame.bow_vec is None and self.map.vocabulary is not None:
+            frame.bow_vec, frame.feat_vec = self.map.vocabulary.transform(
+                frame.descriptors)
+        matcher = self.matcher_cls(self.rig.cam, 0.7)
+        matches, n = matcher.search_by_bow_kf_frame(self.ref_kf, frame)
+        if n < 15:
+            return False
+        frame.map_points = matches
+        frame.set_pose(self.last_frame.Rcw, self.last_frame.tcw)
+        frame.has_pose = True
+        self._run_pose_optimization(frame)
+        n_map = 0
+        for i in range(frame.N):
+            if frame.map_points[i] is not None:
+                if frame.outlier[i]:
+                    mp = frame.map_points[i]
+                    frame.map_points[i] = None
+                    frame.outlier[i] = False
+                    mp.track_in_view = False
+                elif frame.map_points[i].n_observations() > 0:
+                    n_map += 1
+        # NOTE: the reference never increments its inlier counter here
+        # (Tracking.cpp:766-781 always returns false); we count properly.
+        return n_map >= 10
+
+    def track_with_motion_model(self) -> bool:
+        frame = self.current
+        if self.velocity is None:
+            return False
+        matcher = self.matcher_cls(self.rig.cam, 0.9)
+        Rv, tv = self.velocity
+        frame.set_pose(Rv @ self.last_frame.Rcw,
+                       Rv @ self.last_frame.tcw + tv)
+        frame.has_pose = True
+        frame.map_points = [None] * frame.N
+        th = 15
+        n = matcher.search_by_projection_last_frame(frame, self.last_frame, th)
+        if n < 20:
+            frame.map_points = [None] * frame.N
+            n = matcher.search_by_projection_last_frame(frame, self.last_frame,
+                                                        2 * th)
+        if n < 20:
+            return False
+        self._run_pose_optimization(frame)
+        n_map = 0
+        for i in range(frame.N):
+            if frame.map_points[i] is not None:
+                if frame.outlier[i]:
+                    mp = frame.map_points[i]
+                    frame.map_points[i] = None
+                    frame.outlier[i] = False
+                    mp.track_in_view = False
+                elif frame.map_points[i].n_observations() > 0:
+                    n_map += 1
+                    frame.map_points[i].tracked_by_frame = frame.mnId
+        return n_map >= 10
+
+    # ------------------------------------------------------------------
+    # local map tracking (Tracking.cpp:856-1008)
+    # ------------------------------------------------------------------
+    def track_local_map(self) -> bool:
+        frame = self.current
+        self.update_local_map()
+        self.search_local_points()
+        if not self.map.imu_initialized or \
+                frame.mnId <= self.last_reloc_frame_id + self.rig.cam.fps:
+            self._run_pose_optimization(frame)
+        else:
+            self._run_pose_inertial(frame, fix_prev=self.map_updated)
+        self.matches_inliers = 0
+        for i in range(frame.N):
+            mp = frame.map_points[i]
+            if mp is not None and not frame.outlier[i]:
+                mp.increase_found()
+                if mp.n_observations() > 0:
+                    self.matches_inliers += 1
+        if frame.mnId < self.last_reloc_frame_id + self.rig.cam.fps and \
+                self.matches_inliers < 20:
+            return False
+        if self.matches_inliers > 10 and self.state == RECENTLY_LOST:
+            return True
+        if (self.matches_inliers < 5 and self.map.imu_initialized) or \
+                (self.matches_inliers < 20 and not self.map.imu_initialized):
+            return False
+        return True
+
+    def update_local_map(self) -> None:
+        frame = self.current
+        counter = {}
+        src = frame if (not self.map.imu_initialized
+                        or frame.mnId < self.last_reloc_frame_id + 2) \
+            else self.last_frame
+        for i in range(src.N):
+            mp = src.map_points[i]
+            if mp is not None and not mp.is_bad():
+                for kf in mp.observations:
+                    counter[kf] = counter.get(kf, 0) + 1
+            elif mp is not None:
+                src.map_points[i] = None
+        self.local_keyframes = []
+        seen = set()
+        for kf, cnt in counter.items():
+            if not kf.is_bad():
+                self.local_keyframes.append(kf)
+                seen.add(kf.mnId)
+        base = list(self.local_keyframes)
+        for kf in base:
+            if len(self.local_keyframes) > 80:
+                break
+            for nb in kf.get_best_covisibility_keyframes(10):
+                if not nb.is_bad() and nb.mnId not in seen:
+                    self.local_keyframes.append(nb)
+                    seen.add(nb.mnId)
+                    break
+        if len(self.local_keyframes) < 80:
+            kf = self.last_kf
+            for _ in range(20):
+                if kf is None:
+                    break
+                if kf.mnId not in seen and not kf.is_bad():
+                    self.local_keyframes.append(kf)
+                    seen.add(kf.mnId)
+                kf = kf.prev_kf
+        # local points
+        self.local_points = []
+        pseen = set()
+        for kf in reversed(self.local_keyframes):
+            for mp in kf.map_points:
+                if mp is not None and not mp.is_bad() and \
+                        mp.mnId not in pseen:
+                    pseen.add(mp.mnId)
+                    self.local_points.append(mp)
+
+    def search_local_points(self) -> None:
+        frame = self.current
+        for mp in self.local_points:
+            if not mp.is_bad():
+                frame.check_in_frustum(mp, 0.5)
+        matcher = self.matcher_cls(self.rig.cam, 0.8)
+        th = 10
+        if self.map.imu_initialized:
+            th = 3 if self.map.inertial_ba1 else 6
+        if frame.mnId < self.last_reloc_frame_id + 2:
+            th = 5
+        if self.state in (LOST, RECENTLY_LOST):
+            th = 15
+        matcher.extend_map_matches(frame, self.local_points, th)
+
+    # ------------------------------------------------------------------
+    # keyframe policy (Tracking.cpp:913-972)
+    # ------------------------------------------------------------------
+    def need_new_keyframe(self) -> bool:
+        if self.local_mapper is not None and not self.local_mapper.idle():
+            return False
+        if self.last_kf is None:
+            return True
+        return (self.current.timestamp - self.last_kf.timestamp) >= 0.1
+
+    def create_new_keyframe(self) -> None:
+        frame = self.current
+        wm = self.map
+        kf = KeyFrame(frame, wm)
+        if wm.vocabulary is not None:
+            kf.bow_vec, kf.feat_vec = wm.vocabulary.transform(kf.descriptors)
+        kf.bias = frame.bias.copy()
+        self.ref_kf = kf
+        frame.ref_kf = kf
+        if self.last_kf is not None:
+            kf.prev_kf = self.last_kf
+            self.last_kf.next_kf = kf
+        kf.preintegrated = self.preint_from_kf
+        matcher = self.matcher_cls(self.rig.cam, 0.6)
+        wm.incre_map(kf, matcher)
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kf)
+        self.preint_from_kf = Preintegrated(kf.bias, self.rig.nga,
+                                            self.rig.nga_walk)
+        self.last_kf = kf
+
+    # ------------------------------------------------------------------
+    # IMU initialization (Tracking.cpp:1479-1742)
+    # ------------------------------------------------------------------
+    def _temporal_keyframes(self) -> List[KeyFrame]:
+        if self.last_kf is None:
+            return []
+        out = [self.last_kf]
+        while out[-1].prev_kf is not None:
+            out.append(out[-1].prev_kf)
+        out.reverse()
+        return out
+
+    def initialize_imu(self, prior_g: float, prior_a: float,
+                       fiba: bool) -> None:
+        from ..estimator.ba import full_inertial_ba
+        from ..estimator.inertial_init import (
+            InertialInitProblem,
+            inertial_optimization,
+        )
+        from ..geometry import so3
+
+        wm = self.map
+        if wm.n_keyframes() < 10:
+            return
+        kfs = self._temporal_keyframes()
+        if len(kfs) < 10:
+            return
+        if self.last_kf.timestamp - kfs[0].timestamp < 2.0:
+            return
+
+        if not wm.imu_initialized:
+            dir_g = np.zeros(3, np.float64)
+            for kf in kfs:
+                if kf.preintegrated is None or kf.prev_kf is None:
+                    continue
+                dir_g -= kf.prev_kf.imu_rotation() @ \
+                    kf.preintegrated.delta_velocity()
+                vel = (kf.imu_position() - kf.prev_kf.imu_position()) \
+                    / max(kf.preintegrated.dT, 1e-6)
+                kf.velocity = vel.astype(np.float32)
+                kf.prev_kf.velocity = vel.astype(np.float32)
+            nrm = np.linalg.norm(dir_g)
+            if nrm < 1e-8:
+                Rwg = np.eye(3, dtype=np.float32)
+            else:
+                dir_g = dir_g / nrm
+                gI = np.float64([0, 0, -1])
+                v = np.cross(gI, dir_g)
+                nv = np.linalg.norm(v)
+                ang = np.arccos(np.clip(gI @ dir_g, -1, 1))
+                if nv < 1e-8:
+                    Rwg = np.eye(3, dtype=np.float32)
+                else:
+                    Rwg = np.asarray(so3.exp(jnp.asarray(
+                        (v * ang / nv).astype(np.float32))), np.float32)
+        else:
+            Rwg = np.eye(3, dtype=np.float32)
+
+        prob, states = self._build_inertial_init_problem(kfs)
+        if prob is None:
+            return
+        R, t, v = states
+        v_f, bg, ba, Rwg_f, scale, _ = inertial_optimization(
+            jnp.asarray(R), jnp.asarray(t), jnp.asarray(v),
+            jnp.asarray(self.last_kf.bias[:3]),
+            jnp.asarray(self.last_kf.bias[3:]),
+            jnp.asarray(Rwg), jnp.asarray(np.float32(1.0)), prob,
+            prior_g=float(prior_g), prior_a=float(prior_a), iters=60)
+        scale = float(scale)
+        if scale < 1e-1:
+            return
+        # apply: rotate gravity to -z, rescale
+        Rwg_f = np.asarray(Rwg_f, np.float32)
+        if abs(scale - 1.0) > 1e-5:
+            wm.apply_scaled_rotation(Rwg_f.T, scale, scale_vel=True)
+            self._update_frame_imu(scale)
+        vf = np.asarray(v_f)
+        bias = np.concatenate([np.asarray(bg), np.asarray(ba)]).astype(
+            np.float32)
+        for i, kf in enumerate(kfs):
+            kf.velocity = (Rwg_f.T @ vf[i] * scale).astype(np.float32)
+            kf.bias = bias.copy()
+            if kf.preintegrated is not None:
+                kf.preintegrated.set_new_bias(bias)
+                kf.preintegrated.reintegrate()
+        first_init = not wm.imu_initialized
+        wm.imu_initialized = True
+        if fiba:
+            full_inertial_ba(wm, iters=100, loop_kf=0,
+                             b_init=(prior_a != 0), prior_g=prior_g,
+                             prior_a=prior_a)
+        wm.info_map_change()
+        if first_init:
+            self.t_init = 0.0
+
+    def _build_inertial_init_problem(self, kfs):
+        from ..estimator.inertial_init import InertialInitProblem
+
+        links = []
+        for kf in kfs:
+            if kf.prev_kf is None or kf.preintegrated is None:
+                continue
+            links.append(kf)
+        if len(links) < 3:
+            return None, None
+        idx = {kf.mnId: i for i, kf in enumerate(kfs)}
+        L = len(links)
+        data = dict(kf1=[], kf2=[], dR=[], dV=[], dP=[], JRg=[], JVg=[],
+                    JVa=[], JPg=[], JPa=[], b0=[], sqi=[], dt=[])
+        for kf in links:
+            st = kf.preintegrated.state
+            C = np.asarray(st.C, np.float64)
+            data["kf1"].append(idx[kf.prev_kf.mnId])
+            data["kf2"].append(idx[kf.mnId])
+            data["dR"].append(np.asarray(st.dR))
+            data["dV"].append(np.asarray(st.dV))
+            data["dP"].append(np.asarray(st.dP))
+            data["JRg"].append(np.asarray(st.JRg))
+            data["JVg"].append(np.asarray(st.JVg))
+            data["JVa"].append(np.asarray(st.JVa))
+            data["JPg"].append(np.asarray(st.JPg))
+            data["JPa"].append(np.asarray(st.JPa))
+            data["b0"].append(kf.preintegrated.b.copy())
+            data["sqi"].append(_sqrtm_psd_inv(C[:9, :9]))
+            data["dt"].append(np.float32(st.dT))
+        prob = InertialInitProblem(
+            kf1=jnp.asarray(np.asarray(data["kf1"], np.int32)),
+            kf2=jnp.asarray(np.asarray(data["kf2"], np.int32)),
+            dR=jnp.asarray(np.stack(data["dR"])),
+            dV=jnp.asarray(np.stack(data["dV"])),
+            dP=jnp.asarray(np.stack(data["dP"])),
+            JRg=jnp.asarray(np.stack(data["JRg"])),
+            JVg=jnp.asarray(np.stack(data["JVg"])),
+            JVa=jnp.asarray(np.stack(data["JVa"])),
+            JPg=jnp.asarray(np.stack(data["JPg"])),
+            JPa=jnp.asarray(np.stack(data["JPa"])),
+            b0=jnp.asarray(np.stack(data["b0"])),
+            sqi=jnp.asarray(np.stack(data["sqi"])),
+            dt=jnp.asarray(np.asarray(data["dt"])),
+            valid=jnp.ones(L, bool))
+        R = np.stack([kf.imu_rotation() for kf in kfs])
+        t = np.stack([kf.imu_position() for kf in kfs])
+        v = np.stack([kf.velocity for kf in kfs])
+        return prob, (R, t, v)
+
+    def _update_frame_imu(self, scale: float) -> None:
+        """UpdateFrameIMU (Tracking.cpp:1401-...): rescale the relative-pose
+        trajectory log and refresh the last frame's IMU state."""
+        self.rel_poses = [(R, t * scale) for (R, t) in self.rel_poses]
+        if self.last_frame is None:
+            return
+        lf = self.last_frame
+        if lf.preint_kf is not None and self.last_kf is not None \
+                and lf.preint_kf.dT > 0:
+            gz = np.float32([0, 0, -GRAVITY_VALUE])
+            kf = self.last_kf
+            p = lf.preint_kf
+            Rwb1 = kf.imu_rotation()
+            twb1 = kf.imu_position()
+            v1 = kf.velocity
+            t12 = p.dT
+            lf.set_imu_pose_velocity(
+                Rwb1 @ p.delta_rotation(),
+                twb1 + v1 * t12 + 0.5 * t12 * t12 * gz
+                + Rwb1 @ p.delta_position(),
+                v1 + gz * t12 + Rwb1 @ p.delta_velocity())
+
+    def scale_refinement(self) -> None:
+        from ..estimator.inertial_init import inertial_optimization
+
+        kfs = self._temporal_keyframes()
+        if len(kfs) < 5:
+            return
+        prob, states = self._build_inertial_init_problem(kfs)
+        if prob is None:
+            return
+        R, t, v = states
+        _, _, _, Rwg_f, scale, _ = inertial_optimization(
+            jnp.asarray(R), jnp.asarray(t), jnp.asarray(v),
+            jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+            jnp.eye(3, dtype=jnp.float32), jnp.asarray(np.float32(1.0)),
+            prob, prior_g=0.0, prior_a=0.0, fix_vel_bias=True, iters=30)
+        scale = float(scale)
+        if scale < 1e-1:
+            return
+        if abs(scale - 1.0) > 0.002:
+            Rwg_f = np.asarray(Rwg_f, np.float32)
+            self.map.apply_scaled_rotation(Rwg_f.T, scale, scale_vel=True)
+            self._update_frame_imu(scale)
+        self.map.info_map_change()
+
+    # ------------------------------------------------------------------
+    def reset(self) -> None:
+        """System reset (Tracking.cpp:1351-1384): clear the map and state."""
+        self.n_resets += 1
+        wm = self.map
+        wm.keyframes.clear()
+        wm.map_points.clear()
+        wm.map_edges.clear()
+        wm.map_colines.clear()
+        wm.recent_map_points.clear()
+        wm.inverted_file.clear()
+        wm.kf_origin = None
+        wm.imu_initialized = False
+        wm.inertial_ba1 = False
+        wm.inertial_ba2 = False
+        self.state = NO_IMAGES_YET
+        self.last_kf = None
+        self.ref_kf = None
+        self.last_frame = None
+        self.init_frame = None
+        self.ready_to_init = False
+        self.velocity = None
+        self.t_init = 0.0
+        self.preint_from_kf = None
+        if self.local_mapper is not None:
+            self.local_mapper.reset()
+
+
+def _sqrtm_psd_inv(M: np.ndarray) -> np.ndarray:
+    """sqrt of the PSD-projected inverse (whitening factor)."""
+    M = 0.5 * (M + M.T)
+    info = np.linalg.inv(M + 1e-14 * np.eye(len(M)))
+    w, V = np.linalg.eigh(0.5 * (info + info.T))
+    w = np.clip(w, 0, None)
+    return ((V * np.sqrt(w)) @ V.T).astype(np.float32)

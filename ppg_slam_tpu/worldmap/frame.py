@@ -110,6 +110,8 @@ class Frame(PoseState):
         self.map_edges: List[Optional[MapEdge]] = [None] * len(feats.edges)
         self.outlier = np.zeros(self.N, bool)
 
+        self.bow_vec = None
+        self.feat_vec = None
         self.preint_kf = None      # Preintegrated from last KF
         self.preint_frame = None   # Preintegrated from last frame
         self.prev_frame: Optional["Frame"] = None

@@ -245,11 +245,12 @@ class Map:
         velocities, points."""
         Rgw = np.asarray(Rgw, np.float32)
         for kf in self.keyframes:
-            # Tcw' = Tcw * [Rgw^T, 0; 0 1] with translation scaling
+            # Tcw' = (Tgw * Twc_scaled)^-1 = (Rcw Rgw^T, s*tcw) for t_gw = 0
             Rcw = kf.Rcw @ Rgw.T
             tcw = kf.tcw * scale
             kf.set_pose(Rcw, tcw)
-            kf.velocity = (Rgw @ kf.velocity * scale).astype(np.float32)
+            v = Rgw @ kf.velocity
+            kf.velocity = (v * scale if scale_vel else v).astype(np.float32)
         for mp in self.map_points:
             mp.pos = (scale * (Rgw @ mp.pos)).astype(np.float32)
             mp.update_normal_and_depth()

@@ -1,0 +1,95 @@
+"""End-to-end mono-inertial pipeline test on the synthetic sequence.
+
+The dataset-free analog of minimum-slice gate #2 (SURVEY.md §7 phase 5):
+initialization, per-frame tracking, keyframe growth, IMU initialization and
+metric-scale recovery, trajectory accuracy vs ground truth.
+"""
+
+import numpy as np
+import pytest
+
+from synthetic_sequence import SyntheticExtractor, SyntheticSequence
+from synthetic_world import CAM
+
+from ppg_slam_tpu.pipeline.local_mapping import LocalMapping
+from ppg_slam_tpu.pipeline.tracking import OK, Tracking
+from ppg_slam_tpu.worldmap import Map, Rig
+
+
+def umeyama_align(est: np.ndarray, gt: np.ndarray, with_scale=True):
+    """Sim3 alignment (evo-style) returning aligned estimate."""
+    mu_e = est.mean(0)
+    mu_g = gt.mean(0)
+    E = est - mu_e
+    G = gt - mu_g
+    C = G.T @ E / len(est)
+    U, D, Vt = np.linalg.svd(C)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    s = np.trace(np.diag(D) @ S) / E.var(0).sum() if with_scale else 1.0
+    t = mu_g - s * R @ mu_e
+    return est @ (s * R).T + t, s
+
+
+@pytest.fixture(scope="module")
+def run_sequence():
+    seq = SyntheticSequence(n_frames=120)
+    rig = Rig(CAM, freq=200.0)
+    wmap = Map(rig)
+    Map.imu_ini_time = 2.0  # speed up VIBA scheduling in the test
+    ext = SyntheticExtractor(seq)
+    tracking = Tracking(wmap, ext)
+    lm = LocalMapping(wmap, tracking=tracking)
+    tracking.local_mapper = lm
+
+    est = {}
+    states = []
+    last_t = -1.0
+    for i in range(seq.n_frames):
+        t = seq.frame_times[i]
+        imu = seq.imu_between(last_t, t)
+        last_t = t
+        tracking.grab_imu(imu)
+        frame = tracking.grab_image(np.zeros((2, 2), np.uint8), t)
+        states.append(tracking.state)
+        if tracking.state == OK and frame.has_pose:
+            est[i] = frame.camera_center()
+    return seq, tracking, wmap, est, states
+
+
+class TestPipelineE2E:
+    def test_initializes_and_tracks(self, run_sequence):
+        seq, tracking, wmap, est, states = run_sequence
+        assert states.count(OK) > 60, f"too few OK frames: {states}"
+        assert states[-1] == OK, "must be tracking at the end"
+        assert wmap.n_keyframes() >= 10
+        assert wmap.n_map_points() > 100
+
+    def test_imu_initialized_and_metric_scale(self, run_sequence):
+        seq, tracking, wmap, est, states = run_sequence
+        assert wmap.imu_initialized, "IMU must initialize"
+        # with IMU the map becomes metric: Sim3 alignment scale ~ 1
+        ids = sorted(est.keys())[-60:]
+        E = np.stack([est[i] for i in ids])
+        G = np.stack([
+            seq.frame_poses[i][1] for i in ids])  # camera==body center
+        _, s = umeyama_align(E, G, with_scale=True)
+        assert abs(s - 1.0) < 0.15, f"metric scale off: {s}"
+
+    def test_trajectory_ate(self, run_sequence):
+        seq, tracking, wmap, est, states = run_sequence
+        ids = sorted(est.keys())
+        E = np.stack([est[i] for i in ids])
+        G = np.stack([seq.frame_poses[i][1] for i in ids])
+        aligned, s = umeyama_align(E, G, with_scale=True)
+        ate = np.sqrt(np.mean(np.sum((aligned - G) ** 2, 1)))
+        traj_len = np.sum(np.linalg.norm(np.diff(G, axis=0), axis=1))
+        assert ate < 0.05 * traj_len, (
+            f"ATE {ate:.4f} m vs trajectory length {traj_len:.2f} m")
+
+    def test_ppg_graph_populated(self, run_sequence):
+        seq, tracking, wmap, est, states = run_sequence
+        assert len(wmap.map_edges) > 20, "MapEdges must be created"
+        assert len(wmap.map_colines) > 5, "MapColines must be created"
