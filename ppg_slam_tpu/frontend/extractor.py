@@ -1,13 +1,25 @@
-"""The PPG front-end: one device program per frame + tiny host graph build.
+"""The PPG front-end: ONE device program per frame + tiny native host finish.
 
 TPU-native reorganization of the reference PPGExtractor::run
 (/root/reference/feature/src/PPGExtractor.cpp:118-147). The reference does
-4 CUDA forwards + CPU post-processing; here stage A is ONE jitted XLA program
-(backbone + 3 heads + junction decode + exact NMS + keypoint undistortion +
-heatmap refine/remap + all-pairs probe gate + descriptor sampling), the
-sequential greedy suppression runs on host over small arrays, and stage B is a
-second small device program validating the surviving candidate segments by
-line sampling. Two host<->device round-trips per frame total.
+4 CUDA forwards + CPU post-processing; here EVERYTHING data-parallel runs in
+one jitted XLA program:
+
+  nets -> junction decode -> NMS (iterated maxpool) -> keypoint undistortion
+  -> heatmap tile refine -> undistortion remap (banded one-hot matmuls)
+  -> all-pairs 3-probe gate (one-hot matmul sampling) -> candidate compaction
+  -> per-candidate geometry -> sampled line validation (flat pool)
+  -> MXU one-hot descriptor sampling
+
+and only the inherently-sequential greedy suppression + coline extraction run
+on host (native C++, ~0.5 ms), consuming device-computed geometry — the heat
+map never leaves the device. Per frame: ONE dispatch, ONE small device->host
+payload (~350 KB, descriptors dominating).
+
+`extract_async`/`Handle.result` expose a depth-N pipeline: dispatch+transfer
+of frame t+1..t+k overlap the host finish of frame t, hiding device latency —
+the throughput analog of the reference's thread overlap. `extract` is the
+synchronous wrapper.
 
 Output contract matches the reference run(): keypoints (distorted +
 undistorted; pinhole overwrites distorted with undistorted, :141-146),
@@ -27,14 +39,16 @@ import numpy as np
 from ..geometry.cameras import CameraModel
 from ..models import load_params, ppg_forward
 from ..ops.descriptors import sample_descriptors
-from ..ops.heatmap import refine_heatmap, remap_heatmap
-from ..ops.lines import pair_probe_mask, validate_edges
+from ..ops.heatmap import refine_heatmap
 from ..ops.nms import MAX_KEYPOINTS, nms_keypoints
-from .graph_build import (
-    finalize_edges_and_colines,
-    pair_geometry_np,
-    suppress_candidates,
+from ..ops.pairs import (
+    candidate_geometry,
+    make_pair_tables,
+    probe_and_select,
+    validate_candidates,
 )
+from ..ops.sampling import band_params, remap_banded
+from .graph_build import finalize_graph, remap_np
 
 MIN_KP_FOR_DESC = 10  # reference quirk: < 10 keypoints -> zero descriptors
 
@@ -59,6 +73,22 @@ class FrameFeatures:
         return len(self.kp_pos)
 
 
+class _Handle:
+    """In-flight extraction: device arrays en route to host."""
+
+    def __init__(self, extractor: "PPGExtractor", dev_out):
+        self._ex = extractor
+        self._out = dev_out
+        for leaf in jax.tree_util.tree_leaves(dev_out):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                pass
+
+    def result(self) -> FrameFeatures:
+        return self._ex._finish(jax.device_get(self._out))
+
+
 class PPGExtractor:
     """Per-camera fused front-end. Thread-compatible with the tracking loop."""
 
@@ -68,14 +98,24 @@ class PPGExtractor:
         self.max_kp = max_kp
         self.params = load_params(weights_path) if weights_path else load_params()
         self._has_dist = any(abs(d) > 0 for d in camera.dist)
-        self._remap_xy = (
-            jnp.asarray(camera.undistort_rectify_map()) if self._has_dist else None
-        )
+        self._pi, self._pj, self._preal = make_pair_tables(max_kp)
+        if self._has_dist:
+            rmap = np.asarray(camera.undistort_rectify_map(), np.float32)
+            self._remap_xy = np.ascontiguousarray(rmap)
+            lo, band = band_params(rmap[..., 1])
+            self._band_lo = jnp.asarray(lo)
+            self._band = band
+            self._mapx = jnp.asarray(np.ascontiguousarray(rmap[..., 0]))
+            self._mapy = jnp.asarray(np.ascontiguousarray(rmap[..., 1]))
+        else:
+            self._remap_xy = None
 
         cam = camera
         w, h = cam.width, cam.height
+        has_dist = self._has_dist
+        band = self._band if has_dist else 0
 
-        def stage_a(params, remap_xy, image_u8):
+        def stage(params, image_u8, pi, pj, preal, mapx, mapy, band_lo):
             img = image_u8.astype(jnp.float32) / 255.0
             out = ppg_forward(params, img[None, :, :, None])
             junc = out["junc_prob"][0]
@@ -92,75 +132,114 @@ class PPGExtractor:
             kp_ok = kp_valid & in_img
 
             heat = refine_heatmap(heat)
-            if remap_xy is not None:
-                heat = remap_heatmap(heat, remap_xy)
-            probes = pair_probe_mask(heat, kp_un, kp_ok)
-            descs = sample_descriptors(desc_map, kp_pos, kp_valid, w, h)
-            return dict(kp_pos=kp_pos, kp_score=kp_score, kp_valid=kp_valid,
-                        kp_un=kp_un, kp_ok=kp_ok, heat=heat, probes=probes,
-                        descs=descs)
+            if has_dist:  # undistort the heat map (cv::remap equivalent)
+                heat = remap_banded(heat, mapx, mapy, band_lo, band)
 
-        self._stage_a = jax.jit(stage_a)
-        self._stage_b = jax.jit(validate_edges)
-        # candidate padding buckets (few distinct shapes -> few XLA programs)
-        self._buckets = [256, 512, 1024, 2048, 4096, 8192]
+            sel = probe_and_select(heat, kp_un, kp_ok, pi, pj, preal)
+            dist_c, ang_ab, ang_ba = candidate_geometry(
+                kp_un, sel["ci"], sel["cj"])
+            good, lscore, overflow = validate_candidates(
+                heat, kp_un, sel["ci"], sel["cj"], dist_c, sel["cand_valid"])
+
+            descs = sample_descriptors(desc_map, kp_pos, kp_valid, w, h)
+            return dict(
+                kp_pos=kp_pos, kp_score=kp_score, kp_valid=kp_valid,
+                kp_un=kp_un, kp_ok=kp_ok, descs=descs,
+                ci=sel["ci"].astype(jnp.int32), cj=sel["cj"].astype(jnp.int32),
+                n_cand=sel["n_cand"], dist=dist_c, ang_ab=ang_ab,
+                ang_ba=ang_ba, good=good, lscore=lscore,
+                saturated=sel["saturated"] | overflow,
+            )
+
+        self._stage = jax.jit(stage)
+        # retained for tests/debug: host remap spec (device does it in-program)
+        self._stage_a = None
 
     def warmup(self) -> None:
-        """Compile both stages (the reference warms its CUDA nets similarly,
-        PPGExtractor.cpp:98-107)."""
+        """Compile the device program (the reference warms its CUDA nets
+        similarly, PPGExtractor.cpp:98-107)."""
         img = np.ones((self.camera.height, self.camera.width), np.uint8)
         self.extract(img)
 
-    # ------------------------------------------------------------------
-    def extract(self, image_u8: np.ndarray) -> FrameFeatures:
+    # -- pipeline API ---------------------------------------------------
+    def extract_async(self, image_u8: np.ndarray) -> _Handle:
         assert image_u8.ndim == 2, "single-channel images only"
-        a = self._stage_a(self.params, self._remap_xy, jnp.asarray(image_u8))
-
-        kp_pos = np.asarray(a["kp_pos"])
-        kp_un = np.asarray(a["kp_un"])
-        kp_score = np.asarray(a["kp_score"])
-        kp_valid = np.asarray(a["kp_valid"])
-        kp_ok = np.asarray(a["kp_ok"])
-        probes = np.asarray(a["probes"])
-        descs = np.asarray(a["descs"])
-        n_kp = int(kp_valid.sum())
-
-        # host: pair geometry + sequential greedy suppression
-        dist, ang = pair_geometry_np(kp_un)
-        cands, alive = suppress_candidates(probes, dist, ang)
-
-        # device stage B: sampled validation of surviving candidates
-        n_c = len(cands)
-        if n_c:
-            cap = next(b for b in self._buckets if b >= n_c) if n_c <= self._buckets[-1] else n_c
-            idx = np.zeros((cap, 2), np.int32)
-            ok = np.zeros((cap,), bool)
-            idx[:n_c] = cands
-            ok[:n_c] = alive
-            rate, score = self._stage_b(
-                a["heat"], jnp.asarray(kp_un[idx[:, 0]]),
-                jnp.asarray(kp_un[idx[:, 1]]), jnp.asarray(ok),
-            )
-            rate = np.asarray(rate)[:n_c]
-            score = np.asarray(score)[:n_c]
+        if self._has_dist:
+            out = self._stage(self.params, jnp.asarray(image_u8), self._pi,
+                              self._pj, self._preal, self._mapx, self._mapy,
+                              self._band_lo)
         else:
-            rate = np.zeros((0,), np.float32)
-            score = np.zeros((0,), np.float32)
+            out = self._stage(self.params, jnp.asarray(image_u8), self._pi,
+                              self._pj, self._preal, None, None, None)
+        return _Handle(self, out)
 
-        edges, lscore, colines, connected = finalize_edges_and_colines(
-            cands, alive, rate, score, dist, ang, n_kp
-        )
+    def extract(self, image_u8: np.ndarray) -> FrameFeatures:
+        return self.extract_async(image_u8).result()
 
-        desc_out = descs[:n_kp].copy()
+    # -- host finish ------------------------------------------------------
+    def _finish(self, a) -> FrameFeatures:
+        n_kp = int(a["kp_valid"].sum())
+        n_cand = int(a["n_cand"])
+        kp_pos = a["kp_pos"][:n_kp]
+        kp_un = a["kp_un"][:n_kp]
+        kp_ok = a["kp_ok"][:n_kp]
+        descs = a["descs"][:n_kp]
+
+        edges, lscore, colines, connected = finalize_graph(
+            a["ci"][:n_cand], a["cj"][:n_cand], a["dist"][:n_cand],
+            a["ang_ab"][:n_cand], a["ang_ba"][:n_cand],
+            a["good"][:n_cand], a["lscore"][:n_cand], n_kp)
+
+        desc_out = descs.copy()
         if n_kp < MIN_KP_FOR_DESC:  # reference genPointDescriptor quirk
             desc_out[:] = 0.0
 
-        pos = kp_pos[:n_kp].copy()
-        pos_un = kp_un[:n_kp].copy()
+        pos = kp_pos.copy()
+        pos_un = kp_un.copy()
         if not self.camera.is_fisheye:
             pos = pos_un.copy()  # run() overwrites mPos with mPosUn (:141-146)
         return FrameFeatures(
-            kp_pos=pos, kp_pos_un=pos_un, kp_score=kp_score[:n_kp].copy(),
-            kp_out=~kp_ok[:n_kp], edges=edges, edge_score=lscore,
-            colines=colines, connected=connected[:n_kp], desc=desc_out,
+            kp_pos=pos, kp_pos_un=pos_un, kp_score=a["kp_score"][:n_kp].copy(),
+            kp_out=~kp_ok, edges=edges, edge_score=lscore,
+            colines=colines, connected=connected, desc=desc_out,
         )
+
+    # -- test/debug helpers ------------------------------------------------
+    def _device_outputs(self, image_u8: np.ndarray) -> dict:
+        """The raw (host-fetched) device-program outputs; for spec tests."""
+        return jax.device_get(self.extract_async(image_u8)._out)
+
+    def device_heat(self, image_u8: np.ndarray) -> np.ndarray:
+        """Refined (+remapped) heat as the device program computes it —
+        recomputed through the same jitted sub-ops; for spec tests."""
+        img = jnp.asarray(image_u8).astype(jnp.float32) / 255.0
+        out = ppg_forward(self.params, img[None, :, :, None])
+        heat = refine_heatmap(out["heat"][0])
+        if self._has_dist:
+            heat = remap_banded(heat, self._mapx, self._mapy, self._band_lo,
+                                self._band)
+        return np.asarray(heat)
+
+    def remap_heat_host(self, heat: np.ndarray) -> np.ndarray:
+        """Heat-map undistortion on host (numpy/native spec; the production
+        path remaps on device). Identity when no distortion."""
+        if self._remap_xy is None:
+            return heat
+        from ..native import get_lib
+
+        lib = get_lib()
+        if lib is None:
+            return remap_np(heat, self._remap_xy)
+        import ctypes
+
+        h, w = heat.shape
+        out = np.empty_like(heat)
+        mapx = np.ascontiguousarray(self._remap_xy[..., 0])
+        mapy = np.ascontiguousarray(self._remap_xy[..., 1])
+        lib.ppg_remap(
+            heat.ctypes.data_as(ctypes.c_void_p),
+            mapx.ctypes.data_as(ctypes.c_void_p),
+            mapy.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int(h), ctypes.c_int(w),
+            out.ctypes.data_as(ctypes.c_void_p))
+        return out

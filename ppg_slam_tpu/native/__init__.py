@@ -41,11 +41,44 @@ def get_lib() -> Optional[ctypes.CDLL]:
             os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
         if not _build():
             return None
-    try:
+    def _load():
         lib = ctypes.CDLL(_SO)
         lib.ppg_suppress_candidates.restype = ctypes.c_int
         lib.ppg_extract_colines.restype = ctypes.c_int
-        _lib = lib
-    except OSError:
-        _lib = None
+        lib.ppg_build_graph.restype = ctypes.c_int
+        lib.ppg_remap.restype = None
+        lib.ppg_pair_geometry.restype = None
+        lib.ppg_finalize_graph.restype = ctypes.c_int
+        return lib
+
+    try:
+        _lib = _load()
+    except (OSError, AttributeError):
+        # missing symbol = stale .so that predates the current API: rebuild
+        if not _build():
+            _lib = None
+            return _lib
+        try:
+            _lib = _load()
+        except (OSError, AttributeError):
+            _lib = None
     return _lib
+
+
+def pair_geometry_native(kp_un):
+    """dist/ang matrices via the native lib (std::atan2 float — bit-identical
+    to the reference); None when the lib is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    kp = np.ascontiguousarray(kp_un, np.float32)
+    k = len(kp)
+    dist = np.zeros((k, k), np.float32)
+    ang = np.zeros((k, k), np.float32)
+    lib.ppg_pair_geometry(
+        kp.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(k),
+        dist.ctypes.data_as(ctypes.c_void_p),
+        ang.ctypes.data_as(ctypes.c_void_p))
+    return dist, ang

@@ -4,9 +4,15 @@ Mirrors PPGExtractor.cpp:515-538: torch::grid_sampler(bilinear, zero padding,
 align_corners=False) over the 1/8-resolution 256-d descriptor map at keypoint
 positions normalized by the *full* image size, followed by L2 normalization.
 
-TPU note: the semi-dense descriptor map stays in NHWC; sampling is 4 gathers +
-a fused normalize. The reference's "< 10 keypoints -> all-zero descriptors"
-quirk (:520-524) is replicated by the caller (frontend.extractor).
+TPU note: random-access gathers lower to scalar code on TPU (~29 ms/frame for
+the 4-tap formulation, profiled on v5e). Bilinear sampling is instead
+expressed as two separable one-hot interpolation matmuls on the MXU:
+  t[n, x, :] = sum_y Wy[n, y] * desc[y, x, :]     (K, Hf) @ (Hf, Wf*D)
+  out[n, :]  = sum_x Wx[n, x] * t[n, x, :]        batched contraction
+where Wy/Wx carry the two bilinear taps per axis (zero weight out of bounds =
+grid_sampler zero padding). ~1.5 GFLOP per frame -> microseconds on the MXU.
+The reference's "< 10 keypoints -> all-zero descriptors" quirk (:520-524) is
+replicated by the caller (frontend.extractor).
 """
 
 from __future__ import annotations
@@ -17,6 +23,21 @@ import jax
 import jax.numpy as jnp
 
 DESC_DIM = 256
+
+
+def _axis_weights(coord: jax.Array, size: int):
+    """(K,) continuous source coords -> (K, size) two-tap bilinear weight
+    matrix with zero padding outside [0, size)."""
+    c0 = jnp.floor(coord)
+    f = coord - c0
+    c0i = c0.astype(jnp.int32)
+    grid = jnp.arange(size, dtype=jnp.int32)[None, :]
+    w0 = jnp.where((c0i >= 0) & (c0i < size), 1.0 - f, 0.0)
+    w1 = jnp.where((c0i + 1 >= 0) & (c0i + 1 < size), f, 0.0)
+    return (
+        (grid == c0i[:, None]) * w0[:, None]
+        + (grid == (c0i + 1)[:, None]) * w1[:, None]
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("img_w", "img_h"))
@@ -41,24 +62,17 @@ def sample_descriptors(
     ix = ((gx + 1.0) * wf - 1.0) * 0.5
     iy = ((gy + 1.0) * hf - 1.0) * 0.5
 
-    x0 = jnp.floor(ix)
-    y0 = jnp.floor(iy)
-    fx = (ix - x0)[:, None]
-    fy = (iy - y0)[:, None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    wy = _axis_weights(iy, hf)  # (K, Hf)
+    wx = _axis_weights(ix, wf)  # (K, Wf)
 
-    def tap(yi, xi):
-        v = desc_map[jnp.clip(yi, 0, hf - 1), jnp.clip(xi, 0, wf - 1)]
-        inb = ((xi >= 0) & (xi < wf) & (yi >= 0) & (yi < hf))[:, None]
-        return jnp.where(inb, v, 0.0)
+    # y-interp on the MXU, then per-point x contraction on the VPU
+    t = jnp.dot(wy, desc_map.reshape(hf, wf * d),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).reshape(-1, wf, d)
+    val = jnp.einsum("kx,kxd->kd", wx, t,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
 
-    val = (
-        tap(y0i, x0i) * (1 - fx) * (1 - fy)
-        + tap(y0i, x0i + 1) * fx * (1 - fy)
-        + tap(y0i + 1, x0i) * (1 - fx) * fy
-        + tap(y0i + 1, x0i + 1) * fx * fy
-    )
     norm = jnp.linalg.norm(val, axis=-1, keepdims=True)
     out = val / jnp.maximum(norm, 1e-12)
     return jnp.where(kp_ok[:, None], out, 0.0)

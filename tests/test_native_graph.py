@@ -79,3 +79,69 @@ class TestNativeGraphBuilder:
         _suppress_candidates_native(lib, pm, dist, ang)
         t_na = time.perf_counter() - t0
         assert t_na < t_py, (t_na, t_py)
+
+
+class TestFullBuildGraph:
+    """ppg_build_graph (remap + probes + suppression + validation + colines)
+    vs the numpy spec, on random (degeneracy-free) inputs."""
+
+    def test_build_graph_native_matches_python(self, lib):
+        from ppg_slam_tpu.frontend.graph_build import (
+            _build_graph_native, _build_graph_py)
+
+        for trial in range(10):
+            h, w = 96, 128
+            heat = np.clip(
+                RNG.rand(h, w).astype(np.float32) ** 2 * 1.5, 0, 1)
+            k = RNG.randint(5, 60)
+            kp = np.stack([RNG.uniform(2, w - 3, k),
+                           RNG.uniform(2, h - 3, k)], 1).astype(np.float32)
+            ok = (RNG.rand(k) > 0.1).astype(np.uint8)
+            e1, s1, c1, conn1 = _build_graph_py(heat, kp, ok)
+            e2, s2, c2, conn2 = _build_graph_native(
+                lib, np.ascontiguousarray(heat), np.ascontiguousarray(kp),
+                np.ascontiguousarray(ok))
+            assert np.array_equal(e1, e2), trial
+            np.testing.assert_allclose(s1, s2, atol=1e-5)
+            assert np.array_equal(c1, c2), trial
+            assert conn1 == conn2, trial
+
+    def test_remap_native_matches_numpy_and_device(self, lib):
+        import ctypes
+
+        import jax.numpy as jnp
+
+        from ppg_slam_tpu.frontend.graph_build import remap_np
+        from ppg_slam_tpu.ops.heatmap import remap_heatmap
+
+        h, w = 64, 96
+        heat = RNG.rand(h, w).astype(np.float32)
+        mapx = np.clip(
+            np.add.outer(np.zeros(h), np.arange(w))
+            + RNG.randn(h, w) * 3, -2, w + 1).astype(np.float32)
+        mapy = np.clip(
+            np.add.outer(np.arange(h), np.zeros(w))
+            + RNG.randn(h, w) * 3, -2, h + 1).astype(np.float32)
+        rxy = np.stack([mapx, mapy], -1)
+
+        r_np = remap_np(heat, rxy)
+        r_dev = np.asarray(remap_heatmap(jnp.asarray(heat), jnp.asarray(rxy)))
+        out = np.empty_like(heat)
+        lib.ppg_remap(
+            heat.ctypes.data_as(ctypes.c_void_p),
+            np.ascontiguousarray(mapx).ctypes.data_as(ctypes.c_void_p),
+            np.ascontiguousarray(mapy).ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int(h), ctypes.c_int(w),
+            out.ctypes.data_as(ctypes.c_void_p))
+        np.testing.assert_allclose(out, r_np, atol=1e-6)
+        np.testing.assert_allclose(out, r_dev, atol=1e-6)
+
+    def test_pair_geometry_native_close_to_numpy(self, lib):
+        from ppg_slam_tpu.native import pair_geometry_native
+
+        kp = np.stack([RNG.uniform(0, 700, 80),
+                       RNG.uniform(0, 400, 80)], 1).astype(np.float32)
+        dist_n, ang_n = pair_geometry_native(kp)
+        dist_p, ang_p = pair_geometry_np(kp)
+        np.testing.assert_allclose(dist_n, dist_p, atol=1e-3)
+        np.testing.assert_allclose(ang_n, ang_p, atol=1e-5)
