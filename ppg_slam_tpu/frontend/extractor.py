@@ -43,7 +43,6 @@ from ..ops.heatmap import refine_heatmap
 from ..ops.nms import MAX_KEYPOINTS, nms_keypoints
 from ..ops.pairs import (
     candidate_geometry,
-    make_pair_tables,
     probe_and_select,
     validate_candidates,
 )
@@ -89,22 +88,51 @@ class _Handle:
         return self._ex._finish(jax.device_get(self._out))
 
 
+class _BatchHandle:
+    """In-flight batched extraction."""
+
+    def __init__(self, extractor: "PPGExtractor", dev_out, n: int):
+        self._ex = extractor
+        self._out = dev_out
+        self._n = n
+        for leaf in jax.tree_util.tree_leaves(dev_out):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                pass
+
+    def result(self) -> List[FrameFeatures]:
+        host = jax.device_get(self._out)
+        return [
+            self._ex._finish({k: v[b] for k, v in host.items()})
+            for b in range(self._n)
+        ]
+
+
 class PPGExtractor:
     """Per-camera fused front-end. Thread-compatible with the tracking loop."""
 
     def __init__(self, camera: CameraModel, weights_path: Optional[str] = None,
-                 max_kp: int = MAX_KEYPOINTS):
+                 max_kp: int = MAX_KEYPOINTS, desc_transfer: str = "f32"):
+        """desc_transfer: "f32" (exact, default), "f16" (halves the per-frame
+        device->host payload; ~5e-4 descriptor error, far below the 0.7/0.8
+        matching thresholds), or "none" (descriptors stay device-resident —
+        for device-side matching / front-end-only serving)."""
+        assert desc_transfer in ("f32", "f16", "none")
         self.camera = camera
         self.max_kp = max_kp
+        self.desc_transfer = desc_transfer
         self.params = load_params(weights_path) if weights_path else load_params()
         self._has_dist = any(abs(d) > 0 for d in camera.dist)
-        self._pi, self._pj, self._preal = make_pair_tables(max_kp)
         if self._has_dist:
             rmap = np.asarray(camera.undistort_rectify_map(), np.float32)
             self._remap_xy = np.ascontiguousarray(rmap)
-            lo, band = band_params(rmap[..., 1])
+            lo, band, col_lo, src_w = band_params(rmap[..., 0],
+                                                  rmap[..., 1])
             self._band_lo = jnp.asarray(lo)
             self._band = band
+            self._col_lo = jnp.asarray(col_lo)
+            self._src_w = src_w
             self._mapx = jnp.asarray(np.ascontiguousarray(rmap[..., 0]))
             self._mapy = jnp.asarray(np.ascontiguousarray(rmap[..., 1]))
         else:
@@ -114,8 +142,11 @@ class PPGExtractor:
         w, h = cam.width, cam.height
         has_dist = self._has_dist
         band = self._band if has_dist else 0
+        src_w = self._src_w if has_dist else 0
+        desc_mode = desc_transfer
+        is_fisheye = camera.is_fisheye
 
-        def stage(params, image_u8, pi, pj, preal, mapx, mapy, band_lo):
+        def stage(params, image_u8, mapx, mapy, band_lo, col_lo):
             img = image_u8.astype(jnp.float32) / 255.0
             out = ppg_forward(params, img[None, :, :, None])
             junc = out["junc_prob"][0]
@@ -133,27 +164,45 @@ class PPGExtractor:
 
             heat = refine_heatmap(heat)
             if has_dist:  # undistort the heat map (cv::remap equivalent)
-                heat = remap_banded(heat, mapx, mapy, band_lo, band)
+                heat = remap_banded(heat, mapx, mapy, band_lo, band,
+                                    col_lo, src_w)
 
-            sel = probe_and_select(heat, kp_un, kp_ok, pi, pj, preal)
+            sel = probe_and_select(heat, kp_un, kp_ok)
             dist_c, ang_ab, ang_ba = candidate_geometry(
                 kp_un, sel["ci"], sel["cj"])
             good, lscore, overflow = validate_candidates(
                 heat, kp_un, sel["ci"], sel["cj"], dist_c, sel["cand_valid"])
 
-            descs = sample_descriptors(desc_map, kp_pos, kp_valid, w, h)
-            return dict(
-                kp_pos=kp_pos, kp_score=kp_score, kp_valid=kp_valid,
-                kp_un=kp_un, kp_ok=kp_ok, descs=descs,
-                ci=sel["ci"].astype(jnp.int32), cj=sel["cj"].astype(jnp.int32),
+            out = dict(
+                kp_score=kp_score, n_kp=jnp.sum(kp_valid),
+                kp_un=kp_un, kp_ok=kp_ok,
+                ci=sel["ci"].astype(jnp.int16), cj=sel["cj"].astype(jnp.int16),
                 n_cand=sel["n_cand"], dist=dist_c, ang_ab=ang_ab,
                 ang_ba=ang_ba, good=good, lscore=lscore,
                 saturated=sel["saturated"] | overflow,
             )
+            if is_fisheye:  # pinhole: mPos is overwritten by mPosUn anyway
+                out["kp_pos"] = kp_pos
+            if desc_mode != "none":
+                descs = sample_descriptors(desc_map, kp_pos, kp_valid, w, h)
+                out["descs"] = (descs if desc_mode == "f32"
+                                else descs.astype(jnp.float16))
+            return out
 
         self._stage = jax.jit(stage)
-        # retained for tests/debug: host remap spec (device does it in-program)
-        self._stage_a = None
+
+        # batched variant: frames stack on a leading axis; ONE dispatch per
+        # batch amortizes dispatch/transfer overheads (crucial over tunneled
+        # TPU links where each dispatch round trip serializes at ~30 ms).
+        # lax.map (not vmap): the per-frame program is already MXU-saturating,
+        # so batching buys dispatch amortization, not parallelism — and vmap
+        # lowers the one-hot scan chunks/compactions pathologically (~10x).
+        def stage_batch(params, images, mapx, mapy, band_lo, col_lo):
+            return jax.lax.map(
+                lambda im: stage(params, im, mapx, mapy, band_lo, col_lo),
+                images)
+
+        self._stage_batch = jax.jit(stage_batch)
 
     def warmup(self) -> None:
         """Compile the device program (the reference warms its CUDA nets
@@ -165,39 +214,60 @@ class PPGExtractor:
     def extract_async(self, image_u8: np.ndarray) -> _Handle:
         assert image_u8.ndim == 2, "single-channel images only"
         if self._has_dist:
-            out = self._stage(self.params, jnp.asarray(image_u8), self._pi,
-                              self._pj, self._preal, self._mapx, self._mapy,
-                              self._band_lo)
+            out = self._stage(self.params, jnp.asarray(image_u8),
+                              self._mapx, self._mapy, self._band_lo,
+                              self._col_lo)
         else:
-            out = self._stage(self.params, jnp.asarray(image_u8), self._pi,
-                              self._pj, self._preal, None, None, None)
+            out = self._stage(self.params, jnp.asarray(image_u8),
+                              None, None, None, None)
         return _Handle(self, out)
 
     def extract(self, image_u8: np.ndarray) -> FrameFeatures:
         return self.extract_async(image_u8).result()
 
+    def extract_batch(self, images: List[np.ndarray]) -> List[FrameFeatures]:
+        """Extract a batch of frames in ONE device dispatch (vmapped stage).
+
+        Throughput path: the front-end is a pure per-frame function, so
+        frames batch freely (multi-camera rigs, offline mapping, and
+        playback faster than the per-dispatch link latency allows). Live
+        tracking consumes results in order, one batch behind.
+        """
+        return self.extract_batch_async(images).result()
+
+    def extract_batch_async(self, images: List[np.ndarray]) -> "_BatchHandle":
+        stack = jnp.asarray(np.stack(images))
+        assert stack.ndim == 3, "batch of single-channel images"
+        if self._has_dist:
+            out = self._stage_batch(self.params, stack, self._mapx,
+                                    self._mapy, self._band_lo, self._col_lo)
+        else:
+            out = self._stage_batch(self.params, stack, None, None, None,
+                                    None)
+        return _BatchHandle(self, out, len(images))
+
     # -- host finish ------------------------------------------------------
     def _finish(self, a) -> FrameFeatures:
-        n_kp = int(a["kp_valid"].sum())
+        n_kp = int(a["n_kp"])
         n_cand = int(a["n_cand"])
-        kp_pos = a["kp_pos"][:n_kp]
         kp_un = a["kp_un"][:n_kp]
         kp_ok = a["kp_ok"][:n_kp]
-        descs = a["descs"][:n_kp]
 
         edges, lscore, colines, connected = finalize_graph(
             a["ci"][:n_cand], a["cj"][:n_cand], a["dist"][:n_cand],
             a["ang_ab"][:n_cand], a["ang_ba"][:n_cand],
             a["good"][:n_cand], a["lscore"][:n_cand], n_kp)
 
-        desc_out = descs.copy()
-        if n_kp < MIN_KP_FOR_DESC:  # reference genPointDescriptor quirk
-            desc_out[:] = 0.0
+        if "descs" in a:
+            desc_out = a["descs"][:n_kp].astype(np.float32)
+            if n_kp < MIN_KP_FOR_DESC:  # reference genPointDescriptor quirk
+                desc_out[:] = 0.0
+        else:
+            desc_out = np.zeros((n_kp, 256), np.float32)
 
-        pos = kp_pos.copy()
         pos_un = kp_un.copy()
-        if not self.camera.is_fisheye:
-            pos = pos_un.copy()  # run() overwrites mPos with mPosUn (:141-146)
+        # pinhole: run() overwrites mPos with mPosUn (:141-146)
+        pos = a["kp_pos"][:n_kp].copy() if "kp_pos" in a else pos_un.copy()
         return FrameFeatures(
             kp_pos=pos, kp_pos_un=pos_un, kp_score=a["kp_score"][:n_kp].copy(),
             kp_out=~kp_ok, edges=edges, edge_score=lscore,
@@ -217,7 +287,7 @@ class PPGExtractor:
         heat = refine_heatmap(out["heat"][0])
         if self._has_dist:
             heat = remap_banded(heat, self._mapx, self._mapy, self._band_lo,
-                                self._band)
+                                self._band, self._col_lo, self._src_w)
         return np.asarray(heat)
 
     def remap_heat_host(self, heat: np.ndarray) -> np.ndarray:

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sampling import CHUNK, bilinear_f32, nearest_binary
+from .sampling import CHUNK, _pad_to_chunks, bilinear_f32, nearest_binary
 
 LINE_HEATMAP_THRESH = 0.2
 LINE_INLIER_RATE = 0.8
@@ -63,29 +63,47 @@ def _round_clip(v, lim):
     return jnp.clip((v + 0.5).astype(jnp.int32), 0, lim)
 
 
-def probe_and_select(heat, kp_un, kp_ok, pi, pj, real):
+def probe_and_select(heat, kp_un, kp_ok):
     """3-probe gate over all pairs + compaction to the CAND_CAP bucket.
 
     heat: (H, W) f32 in undistorted coords; kp_un (K, 2); kp_ok (K,).
     Returns dict(ci, cj, cand_valid, n_cand, saturated).
+
+    Phase 1 probes the FULL (K, K) midpoint matrix built by broadcasting
+    (no index gathers — 131k-element gathers cost ~1 ms each on TPU while
+    the extra K^2/2 redundant samples are nearly free through the one-hot
+    sampler); row-major upper-triangle compaction = the reference's
+    lexicographic construction order.
     """
     h, w = heat.shape
+    k = kp_un.shape[0]
     mask = (heat >= LINE_HEATMAP_THRESH).astype(jnp.bfloat16)
-    xi = kp_un[pi]
-    xj = kp_un[pj]
-    ok = real & kp_ok[pi] & kp_ok[pj]
 
-    # phase 1: midpoint probe for every pair
-    pm = xj * 0.5 + xi * 0.5
-    hit_m = nearest_binary(mask, _round_clip(pm[:, 1], h - 1),
-                           _round_clip(pm[:, 0], w - 1))
-    pass1 = ok & hit_m
+    # phase 1: midpoint probe for every (i, j) via outer broadcasting
+    x = kp_un[:, 0]
+    y = kp_un[:, 1]
+    pmx = x[:, None] * 0.5 + x[None, :] * 0.5
+    pmy = y[:, None] * 0.5 + y[None, :] * 0.5
+    n_flat = k * k
+    pad = _pad_to_chunks(n_flat) - n_flat
+    ys = jnp.concatenate([_round_clip(pmy.reshape(-1), h - 1),
+                          jnp.zeros(pad, jnp.int32)])
+    xs = jnp.concatenate([_round_clip(pmx.reshape(-1), w - 1),
+                          jnp.zeros(pad, jnp.int32)])
+    hit_m = nearest_binary(mask, ys, xs)[:n_flat].reshape(k, k)
+    okm = (kp_ok[:, None] & kp_ok[None, :]
+           & (jnp.arange(k)[:, None] < jnp.arange(k)[None, :]))
+    pass1 = (hit_m & okm).reshape(-1)
 
-    # compact survivors (lex order preserved by nonzero)
-    sel1 = jnp.nonzero(pass1, size=PHASE2_CAP, fill_value=PAIR_PAD - 1)[0]
-    valid1 = jnp.arange(PHASE2_CAP) < jnp.sum(pass1)
-    i1 = pi[sel1]
-    j1 = pj[sel1]
+    # compact survivors in row-major (= lex (i, j)) order via top_k on
+    # negated flat indices — ~2 ms cheaper than jnp.nonzero(size=...) on TPU
+    neg_big = jnp.int32(-(1 << 30))
+    key1 = jnp.where(pass1, -jnp.arange(n_flat, dtype=jnp.int32), neg_big)
+    v1, _ = jax.lax.top_k(key1, PHASE2_CAP)
+    valid1 = v1 > neg_big
+    sel1 = jnp.where(valid1, -v1, 0)
+    i1 = (sel1 // k).astype(jnp.int32)
+    j1 = (sel1 % k).astype(jnp.int32)
     a1 = kp_un[i1]
     b1 = kp_un[j1]
 
@@ -99,7 +117,9 @@ def probe_and_select(heat, kp_un, kp_ok, pi, pj, real):
     hits = nearest_binary(mask, ys, xs)
     pass2 = valid1 & hits[:PHASE2_CAP] & hits[PHASE2_CAP:]
 
-    sel2 = jnp.nonzero(pass2, size=CAND_CAP, fill_value=PHASE2_CAP - 1)[0]
+    key2 = jnp.where(pass2, -jnp.arange(PHASE2_CAP, dtype=jnp.int32), neg_big)
+    v2, _ = jax.lax.top_k(key2, CAND_CAP)
+    sel2 = jnp.where(v2 > neg_big, -v2, 0)
     n_cand = jnp.sum(pass2)
     cand_valid = jnp.arange(CAND_CAP) < n_cand
     ci = jnp.where(cand_valid, i1[sel2], 0)
@@ -120,10 +140,46 @@ def candidate_geometry(kp_un, ci, cj):
     return dist, ang_ab, ang_ba
 
 
-def validate_candidates(heat, kp_un, ci, cj, dist, cand_valid):
-    """Sampled line validation over the flat POOL (module docstring).
+SHORT_S = 32                  # sample slots for short candidates (seg <= 32)
+LONG_CAP = 512                # max long candidates (seg in (32, MAX_SEG])
 
-    Returns (good, lscore, overflow): (CAND_CAP,) bool / f32 / scalar bool.
+
+def _validate_grid(heat, mask, ps, pe, seg, n_slots):
+    """Rate/score over a fixed (C, n_slots) sample grid: sample i (1-based)
+    is live iff i <= seg-1. Pure broadcasting — no repeat/pool/gathers; the
+    per-candidate reduction is a row sum of <= n_slots f32 values (exact)."""
+    h, w = heat.shape
+    c = ps.shape[0]
+    i_s = jnp.arange(1, n_slots + 1, dtype=jnp.float32)[None, :]  # (1, S)
+    segf = jnp.maximum(seg, 1).astype(jnp.float32)[:, None]
+    step = 1.0 / segf
+    live = i_s <= (seg[:, None] - 1).astype(jnp.float32)
+    posx = ps[:, 0:1] * (i_s * step) + pe[:, 0:1] * ((segf - i_s) * step)
+    posy = ps[:, 1:2] * (i_s * step) + pe[:, 1:2] * ((segf - i_s) * step)
+
+    n = c * n_slots
+    pad = _pad_to_chunks(n) - n
+    fy = jnp.concatenate([posy.reshape(-1), jnp.zeros(pad)])
+    fx = jnp.concatenate([posx.reshape(-1), jnp.zeros(pad)])
+    inl = nearest_binary(mask, _round_clip(fy, h - 1),
+                         _round_clip(fx, w - 1))[:n].reshape(c, n_slots)
+    bil = bilinear_f32(heat, fy, fx)[:n].reshape(c, n_slots)
+
+    cnt = jnp.sum(jnp.where(live, inl, False).astype(jnp.float32), axis=1)
+    ssum = jnp.sum(jnp.where(live, bil, 0.0), axis=1)
+    denom = jnp.maximum(seg - 1, 1).astype(jnp.float32)
+    return cnt / denom, ssum / denom
+
+
+def validate_candidates(heat, kp_un, ci, cj, dist, cand_valid):
+    """Sampled line validation over fixed per-candidate grids.
+
+    Short candidates (seg <= SHORT_S, the vast majority) validate on a
+    (CAND_CAP, SHORT_S) grid; the rare long ones are compacted into a
+    (LONG_CAP, MAX_SEG) grid via top_k and scattered back.
+
+    Returns (good, lscore, overflow): (CAND_CAP,) bool / f32 / scalar bool
+    (overflow = more than LONG_CAP long candidates; the excess are dropped).
     """
     h, w = heat.shape
     mask = (heat > LINE_HEATMAP_THRESH).astype(jnp.bfloat16)
@@ -132,69 +188,41 @@ def validate_candidates(heat, kp_un, ci, cj, dist, cand_valid):
     seg = jnp.clip((dist * jnp.asarray(INV_SAMPLE_GAP, jnp.float32)[lvl])
                    .astype(jnp.int32), 0, MAX_SEG)
     seg = jnp.where(cand_valid, seg, 0)
-    nsamp = jnp.maximum(seg - 1, 0)
 
-    start = jnp.cumsum(nsamp) - nsamp          # exclusive prefix
-    end = start + nsamp
-    overflow = end[-1] > POOL
-    # candidates whose samples spill past POOL are computed wrong -> drop
-    fits = end <= POOL
+    ps = kp_un[ci]
+    pe = kp_un[cj]
+    is_long = seg > SHORT_S
 
-    cand_of = jnp.repeat(jnp.arange(CAND_CAP), nsamp,
-                         total_repeat_length=POOL)
-    rank = jnp.arange(POOL) - start[cand_of]   # 0..nsamp-1
-    in_pool = jnp.arange(POOL) < end[-1]
+    rate_s, score_s = _validate_grid(
+        heat, mask, ps, pe, jnp.where(is_long, 0, seg), SHORT_S)
 
-    ps = kp_un[ci][cand_of]
-    pe = kp_un[cj][cand_of]
-    segf = seg[cand_of].astype(jnp.float32)
-    step = 1.0 / jnp.maximum(segf, 1.0)
-    i_s = (rank + 1).astype(jnp.float32)
-    pos = ps * (i_s * step)[:, None] + pe * ((segf - i_s) * step)[:, None]
+    # compact long candidates (order irrelevant: results scatter back);
+    # the whole long path is skipped via cond when no candidate is long
+    # (the common case on real frames — segments are mostly short)
+    neg_big = jnp.int32(-(1 << 30))
+    keyl = jnp.where(is_long, -jnp.arange(CAND_CAP, dtype=jnp.int32), neg_big)
+    n_long = jnp.sum(is_long)
 
-    inlier = nearest_binary(mask, _round_clip(pos[:, 1], h - 1),
-                            _round_clip(pos[:, 0], w - 1))
-    inlier = (inlier & in_pool).astype(jnp.float32)
-    bil = bilinear_f32(heat, pos[:, 1], pos[:, 0]) * in_pool
+    def long_pass(_):
+        vl, _2 = jax.lax.top_k(keyl, LONG_CAP)
+        lsel = jnp.where(vl > neg_big, -vl, 0)
+        lvalid = vl > neg_big
+        rate_l, score_l = _validate_grid(
+            heat, mask, ps[lsel], pe[lsel],
+            jnp.where(lvalid, seg[lsel], 0), MAX_SEG)
+        rate = rate_s.at[lsel].set(jnp.where(lvalid, rate_l, rate_s[lsel]))
+        score = score_s.at[lsel].set(
+            jnp.where(lvalid, score_l, score_s[lsel]))
+        return rate, score
 
-    # segment sums: a flat f32 cumsum would lose ~eps(pool_total) (~0.008 at
-    # 1e5) extracting small per-candidate sums from large prefixes. Each
-    # candidate has <= MAX_SEG-1 = 126 consecutive samples, spanning at most
-    # 2 of the 128-sample blocks, so in-block f32 prefixes (magnitude <= 128,
-    # exact to ~1e-5) + a 2-piece extraction give full precision with no f64.
-    BLK = 128
-    vals = jnp.stack([inlier, bil], axis=1).reshape(POOL // BLK, BLK, 2)
-    P = jnp.cumsum(vals, axis=1)             # in-block inclusive prefix
-
-    s = start
-    e = end - 1                               # inclusive; valid iff nsamp > 0
-    b0 = s // BLK
-    s_in = s % BLK
-    b1 = jnp.maximum(e, 0) // BLK
-    e_in = jnp.maximum(e, 0) % BLK
-
-    def pref(b, i):                           # P[b, i, :] with i = -1 -> 0
-        v = P[b, jnp.maximum(i, 0)]
-        return jnp.where((i >= 0)[:, None], v, 0.0)
-
-    head = pref(b0, jnp.full_like(s, BLK - 1)) - pref(b0, s_in - 1)
-    tail = pref(b1, e_in)
-    same = (b0 == b1)[:, None]
-    sums = jnp.where(same, pref(b0, e_in) - pref(b0, s_in - 1), head + tail)
-    sums = jnp.where((nsamp > 0)[:, None], sums, 0.0)
-    cnt = sums[:, 0]
-    ssum = sums[:, 1]
-
-    denom = jnp.maximum(nsamp, 1).astype(jnp.float32)
-    rate = cnt / denom
-    score = ssum / denom
+    rate, score = jax.lax.cond(
+        n_long > 0, long_pass, lambda _: (rate_s, score_s), None)
+    overflow = n_long > LONG_CAP
+    fits = ~is_long | (jnp.cumsum(is_long) <= LONG_CAP)
 
     # seg == 1: reference NaN -> passes; lscore = defined midpoint heat
-    mid = 0.5 * (kp_un[ci] + kp_un[cj])
-    pad = CHUNK - CAND_CAP
-    midv = bilinear_f32(heat,
-                        jnp.concatenate([mid[:, 1], jnp.zeros(pad)]),
-                        jnp.concatenate([mid[:, 0], jnp.zeros(pad)]))[:CAND_CAP]
+    mid = 0.5 * (ps + pe)
+    midv = bilinear_f32(heat, mid[:, 1], mid[:, 0])
 
     seg1 = seg == 1
     good = cand_valid & fits & (

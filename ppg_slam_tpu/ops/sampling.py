@@ -39,13 +39,23 @@ def nearest_binary(mask_bf16: jax.Array, ys: jax.Array, xs: jax.Array):
     hgrid = jnp.arange(h, dtype=jnp.int32)[None, :]
     wgrid = jnp.arange(w, dtype=jnp.int32)[None, :]
 
+    def block(yc, xc):
+        R = (yc[:, None] == hgrid).astype(jnp.bfloat16)
+        # one-hot row x binary mask -> rows are exactly 0/1: bf16 is exact
+        # and halves the (CHUNK, W) intermediate traffic
+        rows = jnp.dot(R, mask_bf16, preferred_element_type=jnp.bfloat16)
+        hit = jnp.sum(
+            jnp.where(xc[:, None] == wgrid, rows, jnp.bfloat16(0)).astype(
+                jnp.float32), axis=1)
+        return hit > 0.5
+
+    if n <= CHUNK:  # small call: one unscanned block
+        return block(ys, xs)
+
     def chunk(c, _):
         yc = jax.lax.dynamic_slice(ys, (c * CHUNK,), (CHUNK,))
         xc = jax.lax.dynamic_slice(xs, (c * CHUNK,), (CHUNK,))
-        R = (yc[:, None] == hgrid).astype(jnp.bfloat16)
-        rows = jnp.dot(R, mask_bf16, preferred_element_type=jnp.float32)
-        hit = jnp.sum(rows * (xc[:, None] == wgrid), axis=1)
-        return c + 1, hit > 0.5
+        return c + 1, block(yc, xc)
 
     _, out = jax.lax.scan(chunk, 0, None, length=n // CHUNK)
     return out.reshape(-1)
@@ -60,9 +70,7 @@ def bilinear_f32(img: jax.Array, y: jax.Array, x: jax.Array):
     hgrid = jnp.arange(h, dtype=jnp.int32)[None, :]
     wgrid = jnp.arange(w, dtype=jnp.int32)[None, :]
 
-    def chunk(c, _):
-        yc = jax.lax.dynamic_slice(y, (c * CHUNK,), (CHUNK,))
-        xc = jax.lax.dynamic_slice(x, (c * CHUNK,), (CHUNK,))
+    def block(yc, xc):
         y0 = jnp.floor(yc)
         x0 = jnp.floor(xc)
         fy = yc - y0
@@ -74,94 +82,134 @@ def bilinear_f32(img: jax.Array, y: jax.Array, x: jax.Array):
               + ((y0i + 1)[:, None] == hgrid) * fy[:, None])
         rows = jnp.dot(Ry.astype(img.dtype), img,
                        preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=jax.lax.Precision.HIGH)
         Cx = ((x0i[:, None] == wgrid) * (1.0 - fx)[:, None]
               + ((x0i + 1)[:, None] == wgrid) * fx[:, None])
-        return c + 1, jnp.sum(rows * Cx, axis=1)
+        return jnp.sum(rows * Cx, axis=1)
+
+    if n <= CHUNK:  # small call: one unscanned block
+        return block(y, x)
+
+    def chunk(c, _):
+        yc = jax.lax.dynamic_slice(y, (c * CHUNK,), (CHUNK,))
+        xc = jax.lax.dynamic_slice(x, (c * CHUNK,), (CHUNK,))
+        return c + 1, block(yc, xc)
 
     _, out = jax.lax.scan(chunk, 0, None, length=n // CHUNK)
     return out.reshape(-1)
 
 
 ROWCHUNK = 8
+COLTILE = 128
 
 
-@functools.partial(jax.jit, static_argnames=("band",))
+@functools.partial(jax.jit, static_argnames=("band", "src_w"))
 def remap_banded(heat: jax.Array, mapx: jax.Array, mapy: jax.Array,
-                 band_lo: jax.Array, band: int):
-    """cv::remap(INTER_LINEAR, zero padding) as banded one-hot matmuls.
+                 band_lo: jax.Array, band: int, col_lo: jax.Array,
+                 src_w: int):
+    """cv::remap(INTER_LINEAR, zero padding) as 2D-tiled one-hot matmuls.
 
-    mapx/mapy: (H, W) f32 source coords; band_lo: (H/ROWCHUNK,) int32
-    precomputed per-chunk input-band start (see `band_params`), `band` the
-    static band height covering floor(mapy)..floor(mapy)+1 for each chunk of
-    ROWCHUNK output rows.
+    Undistortion maps are smooth: each (ROWCHUNK x COLTILE) output tile reads
+    a small (band x src_w) input window, precomputed on host (`band_params`).
+    Per tile: slice the input window (DMA), x-interpolate against the tile's
+    2-tap one-hots (one (ROWCHUNK*COLTILE, src_w) MXU matmul — tiling the
+    one-hot to the window keeps its materialization ~16x smaller than a
+    full-width formulation), then mix the two y-taps (VPU). Exact f32
+    bilinear (2-nonzero one-hot rows: see module docstring).
 
-    Per chunk: slice the shared input band (DMA), x-interpolate all chunk
-    rows against their 2-tap one-hots (one (ROWCHUNK*W, W+1) @ (W+1, band)
-    MXU matmul), then mix the two y-taps (VPU). Exact f32 bilinear
-    (2-nonzero one-hot rows: see module docstring).
+    mapx/mapy: (H, W) f32 source coords; band_lo (H/ROWCHUNK,) int32;
+    col_lo (H/ROWCHUNK, ceil(W/COLTILE)) int32.
     """
     h, w = heat.shape
-    # zero-pad the input so out-of-range taps read zeros; extra zero column
-    # w serves as the target for invalid x taps.
-    padded = jnp.zeros((h + 2 * band, w + 1), heat.dtype)
-    padded = jax.lax.dynamic_update_slice(padded, heat, (band, 0))
-    wg1 = jnp.arange(w + 1, dtype=jnp.int32)[None, None, :]
-    brange = jnp.arange(band, dtype=jnp.int32)[None, None, :]
     n_chunks = h // ROWCHUNK
+    n_tiles = -(-w // COLTILE)
+    w_out = n_tiles * COLTILE
+    # zero-pad so out-of-range taps read zeros (row band + column window)
+    padded = jnp.zeros((h + 2 * band, w + 2 * src_w), heat.dtype)
+    padded = jax.lax.dynamic_update_slice(padded, heat, (band, src_w))
+    # pad the maps to the tiled output width (extra outputs discarded)
+    if w_out != w:
+        mapx = jnp.pad(mapx, ((0, 0), (0, w_out - w)))
+        mapy = jnp.pad(mapy, ((0, 0), (0, w_out - w)))
+    sgrid = jnp.arange(src_w, dtype=jnp.int32)[None, None, :]
+    brange = jnp.arange(band, dtype=jnp.int32)[None, None, :]
 
     def chunk(c, _):
         lo = band_lo[c]
-        bandmat = jax.lax.dynamic_slice(padded, (lo + band, 0),
-                                        (band, w + 1))
         r0 = c * ROWCHUNK
-        mx = jax.lax.dynamic_slice(mapx, (r0, 0), (ROWCHUNK, w))
-        my = jax.lax.dynamic_slice(mapy, (r0, 0), (ROWCHUNK, w))
-        x0 = jnp.floor(mx)
-        fx = mx - x0
-        x0i = x0.astype(jnp.int32)
-        in_x0 = (x0i >= 0) & (x0i < w)
-        in_x1 = (x0i + 1 >= 0) & (x0i + 1 < w)
-        x0c = jnp.where(in_x0, x0i, w)
-        x1c = jnp.where(in_x1, x0i + 1, w)
-        Wx = (
-            (x0c[:, :, None] == wg1) * jnp.where(in_x0, 1.0 - fx, 0.0)[..., None]
-            + (x1c[:, :, None] == wg1) * jnp.where(in_x1, fx, 0.0)[..., None]
-        )  # (R, W, W+1)
-        bx = jnp.dot(
-            Wx.reshape(ROWCHUNK * w, w + 1).astype(heat.dtype), bandmat.T,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(ROWCHUNK, w, band)
-        y0 = jnp.floor(my)
-        fy = my - y0
-        y0i = y0.astype(jnp.int32)
-        in_y0 = (y0i >= 0) & (y0i < h)
-        in_y1 = (y0i + 1 >= 0) & (y0i + 1 < h)
-        d0 = y0i - lo
-        Wy = (
-            (d0[:, :, None] == brange) * jnp.where(in_y0, 1.0 - fy, 0.0)[..., None]
-            + ((d0 + 1)[:, :, None] == brange) * jnp.where(in_y1, fy, 0.0)[..., None]
-        )  # (R, W, band)
-        return c + 1, jnp.sum(bx * Wy, axis=-1)
+
+        def tile(t):
+            xlo = col_lo[c, t]
+            win = jax.lax.dynamic_slice(
+                padded, (lo + band, xlo + src_w), (band, src_w))
+            mx = jax.lax.dynamic_slice(mapx, (r0, t * COLTILE),
+                                       (ROWCHUNK, COLTILE))
+            my = jax.lax.dynamic_slice(mapy, (r0, t * COLTILE),
+                                       (ROWCHUNK, COLTILE))
+            x0 = jnp.floor(mx)
+            fx = mx - x0
+            x0i = x0.astype(jnp.int32)
+            in_x0 = (x0i >= 0) & (x0i < w)
+            in_x1 = (x0i + 1 >= 0) & (x0i + 1 < w)
+            l0 = jnp.clip(x0i - xlo, 0, src_w - 1)      # local window index
+            l1 = jnp.clip(x0i + 1 - xlo, 0, src_w - 1)  # (weights gate oob)
+            Wx = (
+                (l0[:, :, None] == sgrid)
+                * jnp.where(in_x0, 1.0 - fx, 0.0)[..., None]
+                + (l1[:, :, None] == sgrid)
+                * jnp.where(in_x1, fx, 0.0)[..., None]
+            )  # (R, CT, src_w)
+            bx = jnp.dot(
+                Wx.reshape(ROWCHUNK * COLTILE, src_w).astype(heat.dtype),
+                win.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(ROWCHUNK, COLTILE, band)
+            y0 = jnp.floor(my)
+            fy = my - y0
+            y0i = y0.astype(jnp.int32)
+            in_y0 = (y0i >= 0) & (y0i < h)
+            in_y1 = (y0i + 1 >= 0) & (y0i + 1 < h)
+            d0 = y0i - lo
+            Wy = (
+                (d0[:, :, None] == brange)
+                * jnp.where(in_y0, 1.0 - fy, 0.0)[..., None]
+                + ((d0 + 1)[:, :, None] == brange)
+                * jnp.where(in_y1, fy, 0.0)[..., None]
+            )  # (R, CT, band)
+            return jnp.sum(bx * Wy, axis=-1)
+
+        row = jnp.concatenate([tile(t) for t in range(n_tiles)], axis=1)
+        return c + 1, row
 
     _, out = jax.lax.scan(chunk, 0, None, length=n_chunks)
-    return out.reshape(h, w)
+    return out.reshape(h, w_out)[:, :w]
 
 
-def band_params(mapy, band_pad: int = 4):
-    """Per-chunk input band start + static band height for remap_banded,
-    computed on host at camera init (numpy)."""
+def band_params(mapx, mapy, band_pad: int = 4):
+    """Host-precomputed tile windows for remap_banded: per-chunk input band
+    start + static band height, per-(chunk, tile) input column start +
+    static window width (numpy, once per camera)."""
     import numpy as np
 
-    h = mapy.shape[0]
+    h, w = mapy.shape
     assert h % ROWCHUNK == 0
+    n_chunks = h // ROWCHUNK
+    n_tiles = -(-w // COLTILE)
     y0 = np.floor(mapy).astype(np.int32)
-    y0c = y0.reshape(h // ROWCHUNK, -1)
+    y0c = y0.reshape(n_chunks, -1)
     lo = y0c.min(axis=1) - 1
     hi = y0c.max(axis=1) + 2
     band = int((hi - lo).max()) + band_pad
-    # keep the dynamic_slice start in range so XLA's index clamping can never
-    # silently shift the band
     lo = np.clip(lo, -band, h)
-    return lo.astype(np.int32), band
+
+    x0 = np.floor(mapx).astype(np.int32)
+    x0p = np.full((h, n_tiles * COLTILE), 0, np.int32)
+    x0p[:, :w] = x0
+    x0p[:, w:] = x0[:, -1:]
+    x0t = x0p.reshape(n_chunks, ROWCHUNK, n_tiles, COLTILE)
+    cmin = x0t.min(axis=(1, 3)) - 1
+    cmax = x0t.max(axis=(1, 3)) + 2
+    src_w = int((cmax - cmin).max()) + band_pad
+    src_w = -(-src_w // 8) * 8  # sublane-align the contraction dim
+    col_lo = np.clip(cmin, -src_w, w)
+    return (lo.astype(np.int32), band, col_lo.astype(np.int32), src_w)

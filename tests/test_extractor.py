@@ -216,8 +216,8 @@ def test_extractor_descriptor_matches_torch_grid_sampler(synthetic_image):
     ex = PPGExtractor(cam)
     import jax.numpy as jnp_
     a = ex._device_outputs(synthetic_image)
-    n = int(np.asarray(a["kp_valid"]).sum())
-    kp = np.asarray(a["kp_pos"])[:n]
+    n = int(a["n_kp"])
+    kp = np.asarray(ex.extract(synthetic_image).kp_pos)[:n]
     descs = np.asarray(a["descs"])[:n]
 
     # torch oracle (PPGExtractor.cpp:526-537)
