@@ -48,6 +48,46 @@ def _sqrt_info_psd(M: np.ndarray) -> np.ndarray:
     return ((V * np.sqrt(w)) @ V.T).astype(np.float32)
 
 
+def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
+                  opts):
+    """solve_ba with KF/MP slot counts padded to pow2 buckets.
+
+    Local windows grow by a few KFs/MPs per call; without slot padding every
+    solve_ba call sees fresh (N, M) shapes and triggers a full XLA
+    recompilation (~1 s each — 77 compiles in a 24-frame pipeline run,
+    profiled). Padded KF slots are identity states with all DoF fixed;
+    padded MP slots sit at [0,0,1] with mp_free=False and appear in no
+    observation, so they are inert under the damped Schur solve."""
+    import os
+
+    n = int(kf_dof.shape[0])
+    m = int(mp_free.shape[0])
+    if os.environ.get("PPG_NO_PAD"):  # A/B debugging escape hatch
+        N, M = n, m
+    else:
+        N = _pow2(n, lo=4)
+        M = _pow2(m, lo=128)
+    if N != n:
+        eye = np.broadcast_to(np.eye(3, dtype=np.float32), (N - n, 3, 3))
+        z = np.zeros((N - n, 3), np.float32)
+        states = KFStates(
+            jnp.concatenate([states.R, jnp.asarray(eye)]),
+            jnp.concatenate([states.t, jnp.asarray(z)]),
+            jnp.concatenate([states.v, jnp.asarray(z)]),
+            jnp.concatenate([states.bg, jnp.asarray(z)]),
+            jnp.concatenate([states.ba, jnp.asarray(z)]))
+        kf_dof = np.concatenate([kf_dof, np.zeros((N - n, 15), bool)])
+    if M != m:
+        pts_pad = np.tile(np.float32([0.0, 0.0, 1.0]), (M - m, 1))
+        points = jnp.concatenate([points, jnp.asarray(pts_pad)])
+        mp_free = np.concatenate([mp_free, np.zeros(M - m, bool)])
+    st, pts, info = solve_ba(states, points, prob, jnp.asarray(kf_dof),
+                             jnp.asarray(mp_free), jnp.asarray(rig.Rcb),
+                             jnp.asarray(rig.tcb), rig.cam, opts)
+    return (KFStates(st.R[:n], st.t[:n], st.v[:n], st.bg[:n], st.ba[:n]),
+            pts[:m], info)
+
+
 def _body_states(kfs: List[KeyFrame], rig: Rig) -> KFStates:
     R = np.stack([kf.imu_rotation() for kf in kfs])
     t = np.stack([kf.imu_position() for kf in kfs])
@@ -290,9 +330,8 @@ def local_bundle_adjustment(kf: KeyFrame, wmap: Map,
     mp_free = np.ones(len(mps), bool)
 
     opts = BAOptions(iters=iters, lambda0=100.0, reproj_kernel="cauchy")
-    st, pts, info = solve_ba(states, points, prob, jnp.asarray(kf_dof),
-                             jnp.asarray(mp_free), jnp.asarray(rig.Rcb),
-                             jnp.asarray(rig.tcb), rig.cam, opts)
+    st, pts, info = _padded_solve(states, points, prob, kf_dof,
+                                  np.asarray(mp_free), rig, opts)
 
     _apply_outlier_pass(info, refs)
     free = kf_dof.any(axis=1)
@@ -366,9 +405,8 @@ def local_inertial_ba(kf: KeyFrame, wmap: Map, b_large: bool = False,
 
     opts = BAOptions(iters=iters, lambda0=(1e-2 if b_large else 1e0),
                      reproj_kernel="cauchy")
-    st, pts, info = solve_ba(states, points, prob, jnp.asarray(kf_dof),
-                             jnp.asarray(mp_free), jnp.asarray(rig.Rcb),
-                             jnp.asarray(rig.tcb), rig.cam, opts)
+    st, pts, info = _padded_solve(states, points, prob, kf_dof,
+                                  np.asarray(mp_free), rig, opts)
 
     # depth-aware chi2 (close = tracked depth < 10, :743-750); we use the
     # optimized depth as the closeness proxy
@@ -408,9 +446,8 @@ def global_bundle_adjustment(wmap: Map, iters: int = 20, loop_kf: int = 0,
     kf_dof[0] = False  # origin fixed
     opts = BAOptions(iters=iters, lambda0=1e-5,
                      reproj_kernel="cauchy" if robust else "none")
-    st, pts, info = solve_ba(states, points, prob, jnp.asarray(kf_dof),
-                             jnp.ones(len(mps), bool), jnp.asarray(rig.Rcb),
-                             jnp.asarray(rig.tcb), rig.cam, opts)
+    st, pts, info = _padded_solve(states, points, prob, kf_dof,
+                                  np.ones(len(mps), bool), rig, opts)
 
     R = np.asarray(st.R)
     t = np.asarray(st.t)
@@ -467,9 +504,8 @@ def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
     kf_dof[0, :6] = False  # origin pose fixed; velocity/bias free
     opts = BAOptions(iters=min(iters, 25), lambda0=1e-5,
                      reproj_kernel="huber")
-    st, pts, info = solve_ba(states, points, prob, jnp.asarray(kf_dof),
-                             jnp.ones(len(mps), bool), jnp.asarray(rig.Rcb),
-                             jnp.asarray(rig.tcb), rig.cam, opts)
+    st, pts, info = _padded_solve(states, points, prob, kf_dof,
+                                  np.ones(len(mps), bool), rig, opts)
 
     pts_np = np.asarray(pts)
     if loop_kf == 0:

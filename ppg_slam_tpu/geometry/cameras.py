@@ -82,6 +82,53 @@ class CameraModel:
             return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
         return kb8_unproject(uv, self.fx, self.fy, self.cx, self.cy, self.dist)
 
+    # -- numpy twins (host bookkeeping paths) --------------------------------
+    # Per-frame host code (frustum checks, projection matching, incremental
+    # triangulation) calls these thousands of times on small variable-shape
+    # arrays; eager jnp dispatch costs ~2 ms/call there while numpy is ~us.
+    def project_np(self, xyz: np.ndarray) -> np.ndarray:
+        """(..., 3) camera-frame points -> (..., 2) pixels (numpy)."""
+        xyz = np.asarray(xyz, np.float32)
+        if self.kind == CAM_PINHOLE:
+            z = xyz[..., 2]
+            return np.stack([
+                self.fx * xyz[..., 0] / z + self.cx,
+                self.fy * xyz[..., 1] / z + self.cy,
+            ], axis=-1)
+        k1, k2, k3, k4 = self.dist
+        x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+        r = np.sqrt(x * x + y * y)
+        theta = np.arctan2(r, z)
+        t2 = theta * theta
+        rad = theta * (1 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+        rs = np.where(r > 1e-12, r, 1.0)
+        return np.stack([self.fx * rad * x / rs + self.cx,
+                         self.fy * rad * y / rs + self.cy], axis=-1)
+
+    def unproject_np(self, uv: np.ndarray) -> np.ndarray:
+        """(..., 2) pixels -> (..., 3) unit-depth bearings (numpy)."""
+        uv = np.asarray(uv, np.float32)
+        px = (uv[..., 0] - self.cx) / self.fx
+        py = (uv[..., 1] - self.cy) / self.fy
+        if self.kind == CAM_PINHOLE:
+            return np.stack([px, py, np.ones_like(px)], axis=-1)
+        k1, k2, k3, k4 = self.dist
+        theta_d = np.sqrt(px * px + py * py)
+        theta = np.clip(theta_d, -np.pi / 2, np.pi / 2)
+        for _ in range(10):
+            t2 = theta * theta
+            t4 = t2 * t2
+            t6 = t4 * t2
+            t8 = t4 * t4
+            num = theta * (1 + k1 * t2 + k2 * t4 + k3 * t6 + k4 * t8) - \
+                np.clip(theta_d, -np.pi / 2, np.pi / 2)
+            den = 1 + 3 * k1 * t2 + 5 * k2 * t4 + 7 * k3 * t6 + 9 * k4 * t8
+            theta = theta - num / den
+        scale = np.where(theta_d > 1e-8,
+                         np.tan(theta) / np.where(theta_d > 1e-8, theta_d, 1.0),
+                         1.0)
+        return np.stack([px * scale, py * scale, np.ones_like(px)], axis=-1)
+
     def project_jac(self, xyz: jax.Array) -> jax.Array:
         """(..., 3) -> (..., 2, 3) d(uv)/d(xyz) (analytic, matches reference)."""
         if self.kind == CAM_PINHOLE:

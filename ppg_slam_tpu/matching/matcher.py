@@ -30,9 +30,7 @@ TH_LOW = 0.7
 
 
 def _project_np(cam: CameraModel, Xc: np.ndarray) -> np.ndarray:
-    import jax.numpy as jnp
-
-    return np.asarray(cam.project(jnp.asarray(Xc.astype(np.float32))))
+    return cam.project_np(Xc)
 
 
 def desc_dist_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -131,7 +131,7 @@ class Frame(PoseState):
             return False
         import jax.numpy as jnp
 
-        uv = np.asarray(self.rig.cam.project(jnp.asarray(Pc)))
+        uv = self.rig.cam.project_np(Pc)
         min_x, max_x, min_y, max_y = image_bounds(self.rig.cam)
         if not (min_x <= uv[0] < max_x and min_y <= uv[1] < max_y):
             return False

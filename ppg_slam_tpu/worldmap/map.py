@@ -149,8 +149,8 @@ class Map:
             P2 = np.concatenate([R2, t2[:, None]], 1)
             idx1 = np.array([m[0] for m in matches])
             idx2 = np.array([m[1] for m in matches])
-            xn1 = np.asarray(cam.unproject(jnp.asarray(new_kf.kp[idx1])))
-            xn2 = np.asarray(cam.unproject(jnp.asarray(kf2.kp[idx2])))
+            xn1 = cam.unproject_np(new_kf.kp[idx1])
+            xn2 = cam.unproject_np(kf2.kp[idx2])
             # batched 4x4 DLT
             A = np.stack([
                 xn1[:, 0, None] * P1[2] - P1[0],
@@ -164,8 +164,8 @@ class Map:
             ok = np.abs(w) > 1e-12
             X = X4[:, :3] / np.where(ok, w, 1.0)[:, None]
 
-            uv1 = np.asarray(cam.project(jnp.asarray(X @ R1.T + t1)))
-            uv2 = np.asarray(cam.project(jnp.asarray(X @ R2.T + t2)))
+            uv1 = cam.project_np(X @ R1.T + t1)
+            uv2 = cam.project_np(X @ R2.T + t2)
             z1 = X @ R1[2] + t1[2]
             z2 = X @ R2[2] + t2[2]
             err1 = np.sum((uv1 - new_kf.kp[idx1]) ** 2, 1)

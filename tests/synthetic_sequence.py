@@ -21,7 +21,11 @@ from synthetic_world import CAM, SyntheticScene
 class SyntheticSequence:
     def __init__(self, n_frames=120, fps=20.0, imu_hz=200.0, seed=3,
                  noise_px=0.0, desc_noise=0.02):
-        self.scene = SyntheticScene(n_points=200, seed=seed)
+        # corridor scene covering the whole flight path: the trajectory
+        # integrates to ~[5.5, 1.5, 1.5], so a start-only point cloud runs
+        # out of view by frame ~70 (tracking then rightly coasts on IMU)
+        self.scene = SyntheticScene(
+            n_points=480, seed=seed, extent=((-3, 9), (-2, 4), (4, 10)))
         self.fps = fps
         self.noise_px = noise_px
         self.desc_noise = desc_noise

@@ -18,14 +18,16 @@ CAM = CameraModel(kind=CAM_PINHOLE, fx=400.0, fy=400.0, cx=320.0, cy=240.0,
 
 
 class SyntheticScene:
-    def __init__(self, n_points=160, seed=7, cam: CameraModel = CAM):
+    def __init__(self, n_points=160, seed=7, cam: CameraModel = CAM,
+                 extent=((-3, 3), (-2, 2), (4, 9))):
         rng = np.random.RandomState(seed)
         self.cam = cam
         self.rng = rng
+        (x0, x1), (y0, y1), (z0, z1) = extent
         # free points
-        pts = [np.stack([rng.uniform(-3, 3, n_points // 2),
-                         rng.uniform(-2, 2, n_points // 2),
-                         rng.uniform(4, 9, n_points // 2)], 1)]
+        pts = [np.stack([rng.uniform(x0, x1, n_points // 2),
+                         rng.uniform(y0, y1, n_points // 2),
+                         rng.uniform(z0, z1, n_points // 2)], 1)]
         # structured lines: triplets of collinear points (a, mid, b)
         self.triplets = []
         self.segments = []
@@ -33,8 +35,8 @@ class SyntheticScene:
         base = n_points // 2
         line_pts = []
         for k in range(n_lines):
-            a = np.array([rng.uniform(-3, 3), rng.uniform(-2, 2),
-                          rng.uniform(4, 9)])
+            a = np.array([rng.uniform(x0, x1), rng.uniform(y0, y1),
+                          rng.uniform(z0, z1)])
             d = rng.randn(3)
             d /= np.linalg.norm(d)
             b = a + d * rng.uniform(0.8, 2.0)
