@@ -173,6 +173,18 @@ def _sqrtm_psd(H):
     return (V * jnp.sqrt(w)[None, :]) @ V.T
 
 
+def _jacobi_solve(H, g):
+    """Solve H dx = g with Jacobi (diagonal) preconditioning: the 2-frame
+    visual-inertial system mixes ~1e8-scale whitened-preintegration blocks
+    with ~1e2-scale vision blocks, far beyond float32 solve conditioning;
+    normalizing to unit diagonal keeps the solve stable."""
+    d = jax.lax.rsqrt(jnp.clip(jnp.diag(H), 1e-12, None))
+    Hn = H * d[:, None] * d[None, :]
+    Hn = Hn + 1e-6 * jnp.eye(H.shape[0], dtype=H.dtype)
+    y = jnp.linalg.solve(Hn, g * d)
+    return y * d
+
+
 def marginalize_schur(H, keep_start: int):
     """Reference Marginalize(H, 0, 14) (OptimizerInertial.cpp:380-...):
     Schur-complement the leading `keep_start` variables away using an SVD
@@ -216,7 +228,13 @@ def pose_inertial_optimization(
                               prior.R, prior.t, prior.v, prior.bg, prior.ba)
         return ri, rg, ra, rp
 
-    sq_prior = _sqrtm_psd(prior.H) * prior.valid
+    # cap the prior information spectrum: the KF-anchored marginal inherits
+    # ~1/preint-cov information (1e7+ on clean IMU), which a float32 GN
+    # cannot mix with ~1e2-scale vision blocks. sigma floors: 3e-4 (~0.3 mm /
+    # 0.3 mm/s) -> max eigenvalue 1e7, still far tighter than any residual.
+    _pw, _pV = jnp.linalg.eigh(0.5 * (prior.H + prior.H.T))
+    _prior_H = (_pV * jnp.clip(_pw, 0.0, 1e7)[None, :]) @ _pV.T
+    sq_prior = _sqrtm_psd(_prior_H) * prior.valid
 
     def gn_round(c, p, active, use_kernel, iters=10):
         def body(carry, _):
@@ -267,13 +285,11 @@ def pose_inertial_optimization(
                 H = H.at[DOF:, :DOF].add(
                     jnp.einsum("d,di,dj->ij", wvec, Jp, Jc))
                 g = g.at[DOF:].add(jnp.einsum("d,di,d->i", wvec, Jp, r_all))
-                Hs = H + 1e-9 * jnp.eye(2 * DOF, dtype=dtype)
-                dx = -jnp.linalg.solve(Hs, g)
+                dx = -_jacobi_solve(H, g)
                 cc = cc.retract(dx[:DOF])
                 pp = pp.retract(dx[DOF:])
             else:
-                Hs = H[:DOF, :DOF] + 1e-9 * jnp.eye(DOF, dtype=dtype)
-                dx = -jnp.linalg.solve(Hs, g[:DOF])
+                dx = -_jacobi_solve(H[:DOF, :DOF], g[:DOF])
                 cc = cc.retract(dx)
             return (cc, pp), None
 
@@ -324,6 +340,15 @@ def pose_inertial_optimization(
     H30 = H30.at[DOF:DOF + 6, DOF:DOF + 6].add(Hm)
 
     H_new = marginalize_schur(H30, DOF)
+    # PSD-project the marginal (the reference does the same in the
+    # ConstraintPoseImu ctor, G2oEdge.h:350-403): Schur complements of
+    # near-singular float32 systems come out slightly indefinite, and a
+    # negative eigenvalue compounding through the frame-to-frame prior chain
+    # eventually blows up the 2-frame GN (observed: velocity -> -8e3 m/s
+    # after ~40 frames).
+    H_sym = 0.5 * (H_new + H_new.T)
+    w, V = jnp.linalg.eigh(H_sym)
+    H_new = (V * jnp.clip(w, 0.0, None)[None, :]) @ V.T
     new_prior = Prior15(R=c.R, t=c.t, v=c.v, bg=c.bg, ba=c.ba, H=H_new,
                         valid=jnp.asarray(True))
     return c, inlier, n_in, new_prior

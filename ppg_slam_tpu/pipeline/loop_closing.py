@@ -67,6 +67,7 @@ class LoopClosing:
         self.map = wmap
         self.local_mapper = local_mapper
         self.active = active
+        self.debug = False  # gate-level detection logging
         self.queue: List[KeyFrame] = []
         # continuation state (LoopClosing.h)
         self.num_coincidences = 0
@@ -278,6 +279,8 @@ class LoopClosing:
                         matched_points[i] = mp
                         matched_src[i] = c
                         n_bow += 1
+            if self.debug:
+                print(f"    [lc] cand KF{cand.mnId}: n_bow={n_bow}")
             if n_bow < 20:
                 continue
             # Sim3 RANSAC between kf and the best window KF
@@ -300,6 +303,8 @@ class LoopClosing:
                 if j >= 0:
                     uv2[r] = best_bow_kf.kp_un[j]
                     ok_rows.append(r)
+            if self.debug:
+                print(f"    [lc] cand KF{cand.mnId}: idxs={len(idxs)} rows={len(ok_rows)}")
             if len(ok_rows) < 15:
                 continue
             rows = np.asarray(ok_rows)
@@ -307,6 +312,8 @@ class LoopClosing:
                                 wm.rig.cam, fix_scale=wm.inertial_ba1,
                                 min_inliers=15)
             T, inl, n_in, no_more = solver.iterate(300)
+            if self.debug:
+                print(f"    [lc] cand KF{cand.mnId}: sim3 n_in={n_in} ok={T is not None}")
             if T is None:
                 continue
             R12, t12, s12 = solver.get_estimates()
@@ -316,14 +323,20 @@ class LoopClosing:
             # window points + projection check chain
             points = self._gather_window_points(best_bow_kf)
             n_proj, matched = self._project_matches(kf, Scw, points, th=8)
+            if self.debug:
+                print(f"    [lc] cand KF{cand.mnId}: n_proj={n_proj}/{len(points)}")
             if n_proj < 50:
                 continue
             S_new, n_opt = self._optimize_sim3_pair(kf, best_bow_kf, matched,
                                                     Scw)
+            if self.debug:
+                print(f"    [lc] cand KF{cand.mnId}: n_opt={n_opt}")
             if n_opt < 20:
                 continue
             n_final, matched_final = self._project_matches(kf, S_new, points,
                                                            th=5)
+            if self.debug:
+                print(f"    [lc] cand KF{cand.mnId}: n_final={n_final}")
             if n_final < 80:
                 continue
             # spatial confirmation by >= 3 covisible KFs of the current KF
@@ -337,6 +350,8 @@ class LoopClosing:
                     n_kfs += 1
                 if n_kfs >= 3:
                     break
+            if self.debug:
+                print(f"    [lc] cand KF{cand.mnId}: spatial n_kfs={n_kfs}")
             if n_kfs < 3:
                 continue
             if best is None or n_final > best[0]:

@@ -158,6 +158,18 @@ class Tracking:
                     ok = self.track_reference_keyframe()
         else:
             ok = self.predict_state_imu()
+
+        if self.state == LOST:
+            # LOST with an established map: relocalize instead of resetting
+            if self.map.n_keyframes() > 10 and self.relocalization():
+                self.state = OK
+                ok = True
+                self.time_lost = frame.timestamp
+            else:
+                self._log_pose(frame)
+                self.last_frame = frame
+                return
+
         if not ok:
             self.state = LOST
             self._maybe_reset_on_lost()
@@ -173,7 +185,17 @@ class Tracking:
             self.state = OK
         elif self.map.imu_initialized:
             self.state = RECENTLY_LOST
-            if frame.timestamp - self.time_lost < 5.0:
+            # coast on IMU first (cheap and accurate short-term); once the
+            # coast has run > 1 s, also try to re-anchor visually (the
+            # reference ships the full Relocalization pipeline but never
+            # calls it from Track — SURVEY §5; wired here)
+            if (frame.timestamp - self.time_lost > 1.0
+                    and self.map.n_keyframes() > 10
+                    and self.relocalization()):
+                ok = True
+                self.state = OK
+                self.time_lost = frame.timestamp
+            elif frame.timestamp - self.time_lost < 5.0:
                 ok = True
                 self.predict_state_imu()
             else:
@@ -181,9 +203,14 @@ class Tracking:
                 self._maybe_reset_on_lost()
                 return
         else:
-            self.state = LOST
-            self._maybe_reset_on_lost()
-            return
+            if self.map.n_keyframes() > 10 and self.relocalization():
+                ok = True
+                self.state = OK
+                self.time_lost = frame.timestamp
+            else:
+                self.state = LOST
+                self._maybe_reset_on_lost()
+                return
 
         if self.state != LOST:
             if self.map.imu_initialized and ok and \
@@ -221,6 +248,95 @@ class Tracking:
     def _maybe_reset_on_lost(self) -> None:
         if self.map.n_keyframes() <= 10 or not self.map.imu_initialized:
             self.reset()
+
+    # ------------------------------------------------------------------
+    # relocalization (Tracking.cpp:1179-1345)
+    # ------------------------------------------------------------------
+    def relocalization(self) -> bool:
+        """BoW candidates -> PnP RANSAC -> pose optimization -> projection
+        widening. The reference ships this full pipeline but never invokes
+        it from Track() (LOST -> reset instead, SURVEY §5); the rebuild
+        wires it into the RECENTLY_LOST/LOST paths so tracking loss with an
+        established map recovers without a map reset."""
+        frame = self.current
+        wm = self.map
+        if wm.vocabulary is None or frame is None or frame.N == 0:
+            return False
+        if frame.bow_vec is None:
+            frame.bow_vec, frame.feat_vec = wm.vocabulary.transform(
+                frame.descriptors)
+        candidates = wm.detect_relocalization_candidates(frame)
+        if not candidates:
+            return False
+
+        from ..matching.pnp import PnPSolver
+
+        matcher = self.matcher_cls(self.rig.cam, 0.75)
+        solvers, cand_matches, discarded = [], [], []
+        for kf in candidates:
+            matches, n = matcher.search_by_bow_kf_frame(kf, frame)
+            if n < 15:
+                solvers.append(None)
+                cand_matches.append(None)
+                continue
+            idxs = [i for i, mp in enumerate(matches) if mp is not None]
+            Xw = np.stack([matches[i].pos for i in idxs])
+            uv = frame.kp_un[idxs]
+            s = PnPSolver(Xw, uv, self.rig.cam, probability=0.99,
+                          min_inliers=10, max_iterations=300, min_set=6,
+                          epsilon=0.5, th2=5.991)
+            solvers.append((s, idxs))
+            cand_matches.append(matches)
+
+        matcher2 = self.matcher_cls(self.rig.cam, 0.9)
+        for _round in range(30):
+            alive = False
+            for ci, entry in enumerate(solvers):
+                if entry is None:
+                    continue
+                s, idxs = entry
+                ok, Rcw, tcw, inliers, n_in, no_more = s.iterate(5)
+                if no_more:
+                    solvers[ci] = None
+                if not ok:
+                    alive = alive or not no_more
+                    continue
+                alive = True
+                frame.set_pose(Rcw, tcw)
+                frame.has_pose = True
+                matches = cand_matches[ci]
+                found = set()
+                for j, i in enumerate(idxs):
+                    frame.map_points[i] = matches[i] if inliers[j] else None
+                    if inliers[j]:
+                        found.add(matches[i])
+                n_good = self._run_pose_optimization(frame)
+                if n_good < 10:
+                    continue
+                for i in range(frame.N):
+                    if frame.outlier[i]:
+                        frame.map_points[i] = None
+                if n_good < 50:  # projection widening (Tracking.cpp:1280-…)
+                    n_add = matcher2.search_by_projection_reloc(
+                        frame, candidates[ci], found, th=10, desc_th=1.0)
+                    if n_good + n_add >= 50:
+                        n_good = self._run_pose_optimization(frame)
+                        if 30 < n_good < 50:
+                            found = {mp for i, mp in
+                                     enumerate(frame.map_points)
+                                     if mp is not None}
+                            matcher2.search_by_projection_reloc(
+                                frame, candidates[ci], found, th=3,
+                                desc_th=0.9)
+                            n_good = self._run_pose_optimization(frame)
+                if n_good >= 50:
+                    self.last_reloc_frame_id = frame.mnId
+                    self.ref_kf = candidates[ci]
+                    frame.ref_kf = candidates[ci]
+                    return True
+            if not alive:
+                break
+        return False
 
     def _log_pose(self, frame: Frame) -> None:
         ref = frame.ref_kf
@@ -779,6 +895,11 @@ class Tracking:
             return False
         if self.last_kf is None:
             return True
+        # don't spawn keyframes from frames that barely track (the reference
+        # gates on mnMatchesInliers, Tracking.cpp:913-941) — blind/coasting
+        # frames would insert featureless keyframes into the map
+        if self.matches_inliers < 15 and self.state != OK:
+            return False
         return (self.current.timestamp - self.last_kf.timestamp) >= 0.1
 
     def create_new_keyframe(self) -> None:

@@ -72,7 +72,7 @@ class SyntheticScene:
 
         Xc = self.points @ Rcw.T + tcw
         vis = Xc[:, 2] > 0.3
-        uv = np.asarray(self.cam.project(jnp.asarray(Xc)))
+        uv = self.cam.project_np(Xc)
         if noise > 0:
             uv = uv + self.rng.randn(*uv.shape).astype(np.float32) * noise
         inb = ((uv[:, 0] >= 8) & (uv[:, 0] < self.cam.width - 8)
