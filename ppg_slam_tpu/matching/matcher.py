@@ -40,6 +40,37 @@ def desc_dist_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.sqrt(np.maximum(d2, 0.0))
 
 
+class _RowCache:
+    """Batched map-point -> frame descriptor distances.
+
+    The association searches used to compute one 256-d L2 norm per
+    (candidate, feature) pair in Python (~ms per frame each); this computes
+    whole (points x features) distance blocks with one BLAS/MXU matmul
+    (desc_dist_matrix) and serves row lookups — SURVEY §7 phase 3's batched
+    matching design.
+    """
+
+    def __init__(self, frame_desc: np.ndarray):
+        self.fd = frame_desc
+        self.rows = {}
+
+    def ensure(self, mps) -> None:
+        new = [mp for mp in mps
+               if mp is not None and mp.mnId not in self.rows]
+        if not new:
+            return
+        D = desc_dist_matrix(np.stack([m.descriptor for m in new]), self.fd)
+        for m, row in zip(new, D):
+            self.rows[m.mnId] = row
+
+    def row(self, mp) -> np.ndarray:
+        r = self.rows.get(mp.mnId)
+        if r is None:
+            self.ensure([mp])
+            r = self.rows[mp.mnId]
+        return r
+
+
 class Matcher:
     def __init__(self, cam: CameraModel, nn_ratio: float = 0.6):
         self.cam = cam
@@ -52,26 +83,32 @@ class Matcher:
                                         th: float) -> int:
         n = 0
         min_x, max_x, min_y, max_y = image_bounds(self.cam)
-        for i in range(last.N):
-            mp = last.map_points[i]
-            if mp is None or last.outlier[i]:
+        mps = [mp for i, mp in enumerate(last.map_points)
+               if mp is not None and not last.outlier[i]]
+        if not mps or frame.N == 0:
+            return 0
+        # batch-project all last-frame points + one distance-matrix block
+        X = np.stack([mp.pos for mp in mps])
+        Xc = X @ frame.Rcw.T + frame.tcw
+        uvs = self.cam.project_np(Xc)
+        dists = _RowCache(frame.descriptors)
+        dists.ensure(mps)
+        for k, mp in enumerate(mps):
+            if Xc[k, 2] <= 0:
                 continue
-            Xc = frame.Rcw @ mp.pos + frame.tcw
-            if Xc[2] <= 0:
-                continue
-            uv = _project_np(self.cam, Xc[None])[0]
+            uv = uvs[k]
             if not (min_x <= uv[0] < max_x and min_y <= uv[1] < max_y):
                 continue
             cand = frame.features_in_area(uv[0], uv[1], th)
             if not cand:
                 continue
+            row = dists.row(mp)
             best, best_i = 1e6, -1
             for idx in cand:
                 cur = frame.map_points[idx]
                 if cur is not None and cur.n_observations() > 0:
                     continue
-                d = float(np.linalg.norm(mp.descriptor
-                                         - frame.descriptors[idx]))
+                d = row[idx]
                 if d < best:
                     best, best_i = d, idx
             if best <= TH_HIGH:
@@ -87,24 +124,27 @@ class Matcher:
                                     th: float = 1.0) -> int:
         n = 0
         factor = th != 1.0
-        for mp in points:
-            if mp.is_bad() or not mp.track_in_view:
-                continue
-            if mp.tracked_by_frame == frame.mnId:
-                continue
+        live = [mp for mp in points
+                if not mp.is_bad() and mp.track_in_view
+                and mp.tracked_by_frame != frame.mnId]
+        if not live or frame.N == 0:
+            return 0
+        dists = _RowCache(frame.descriptors)
+        dists.ensure(live)
+        for mp in live:
             r = 2.5 if mp.track_view_cos > 0.998 else 4.0
             if factor:
                 r *= th
             cand = frame.features_in_area(mp.track_proj_x, mp.track_proj_y, r)
             if not cand:
                 continue
+            row = dists.row(mp)
             best, best2, best_i = 1e6, 1e6, -1
             for idx in cand:
                 cur = frame.map_points[idx]
                 if cur is not None and cur.n_observations() > 0:
                     continue
-                d = float(np.linalg.norm(mp.descriptor
-                                         - frame.descriptors[idx]))
+                d = row[idx]
                 if d < best:
                     best2, best, best_i = best, d, idx
                 elif d < best2:
@@ -124,6 +164,10 @@ class Matcher:
         n_matches = 0
         cands = [mp for mp in points if not mp.is_bad() and mp.track_in_view]
         cands.sort(key=lambda mp: -len(mp.get_edges()))
+        if not cands or frame.N == 0:
+            return 0
+        dists = _RowCache(frame.descriptors)
+        dists.ensure(cands)
 
         for mp in cands:
             if mp.tracked_by_frame == frame.mnId or mp.is_bad():
@@ -132,13 +176,13 @@ class Matcher:
             idxs = frame.features_in_area(mp.track_proj_x, mp.track_proj_y, r)
             if not idxs:
                 continue
+            row = dists.row(mp)
             best, best2, best_i = 1e6, 1e6, -1
             for idx in idxs:
                 cur = frame.map_points[idx]
                 if cur is not None and cur.n_observations() > 0:
                     continue
-                d = float(np.linalg.norm(mp.descriptor
-                                         - frame.descriptors[idx]))
+                d = row[idx]
                 if d < best:
                     best2, best, best_i = best, d, idx
                 elif d < best2:
@@ -168,17 +212,20 @@ class Matcher:
                 ly = list(range(len(key_edges)))
                 if not lx or not ly:
                     continue
+                # one batched distance block for this seed's other endpoints
+                others = [map_edges[i].the_other_pt(seed_mp) for i in lx]
+                dists.ensure(others)
+                key_os = [self._other_pid(frame, key_edges[j], key_id)
+                          for j in ly]
                 weight = np.full((len(map_edges), len(key_edges)), 1e6,
                                  np.float32)
-                for i in lx:
-                    mp_o = map_edges[i].the_other_pt(seed_mp)
-                    for j in ly:
-                        key_o = self._other_pid(frame, key_edges[j], key_id)
+                for i, mp_o in zip(lx, others):
+                    orow = dists.row(mp_o)
+                    for j, key_o in zip(ly, key_os):
                         if mp_o is frame.map_points[key_o]:
                             weight[i, j] = -1.0
                         else:
-                            weight[i, j] = np.linalg.norm(
-                                mp_o.descriptor - frame.descriptors[key_o])
+                            weight[i, j] = orow[key_o]
                 # greedy min-weight assignment
                 while lx and ly:
                     sub = weight[np.ix_(lx, ly)]
@@ -198,8 +245,11 @@ class Matcher:
                     frame.map_points[key_o] = mp_o
                     frame.map_edges[key_edge_id] = me
                     mp_o.tracked_by_frame = frame.mnId
+                    # every grown association counts as a match (the
+                    # reference counts each, Matcher.cpp:203-381; r1
+                    # double-counted the seed instead)
+                    n_matches += 1
                     seeds.append(key_o)
-            n_matches += 1
         return n_matches
 
     @staticmethod
@@ -350,13 +400,21 @@ class Matcher:
         n_fused = 0
         Ow = kf.camera_center()
         min_x, max_x, min_y, max_y = image_bounds(self.cam)
-        for mp in points:
-            if mp is None or mp.is_bad() or kf in mp.observations:
+        live = [mp for mp in points
+                if mp is not None and not mp.is_bad()
+                and kf not in mp.observations]
+        if not live or kf.N == 0:
+            return 0
+        # batch-project + one distance-matrix block over the fuse set
+        X = np.stack([mp.pos for mp in live])
+        Xcs = X @ kf.Rcw.T + kf.tcw
+        uvs = self.cam.project_np(Xcs)
+        dists = _RowCache(kf.descriptors)
+        dists.ensure(live)
+        for k, mp in enumerate(live):
+            if Xcs[k, 2] < 0:
                 continue
-            Xc = kf.Rcw @ mp.pos + kf.tcw
-            if Xc[2] < 0:
-                continue
-            uv = _project_np(self.cam, Xc[None])[0]
+            uv = uvs[k]
             if not (min_x <= uv[0] < max_x and min_y <= uv[1] < max_y):
                 continue
             po = mp.pos - Ow
@@ -369,12 +427,13 @@ class Matcher:
             cand = kf.features_in_area(uv[0], uv[1], th)
             if not cand:
                 continue
+            row = dists.row(mp)
             best, best_i = 1e6, -1
             for idx in cand:
                 e = kf.kp[idx] - uv
                 if float(e @ e) > 5.99:
                     continue
-                d = float(np.linalg.norm(mp.descriptor - kf.descriptors[idx]))
+                d = row[idx]
                 if d < best:
                     best, best_i = d, idx
             if best <= TH_LOW and best_i >= 0:

@@ -28,11 +28,8 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 assert jax.default_backend() == "cpu", jax.default_backend()
 
-# Persistent XLA compilation cache: the pipeline compiles ~30 distinct
-# (bucketed) programs; caching them on disk makes suite re-runs start warm.
-import pathlib
-
-_cache = pathlib.Path.home() / ".cache" / "ppg_slam_tpu_xla"
-_cache.mkdir(parents=True, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", str(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+# NOTE: we deliberately do NOT enable the persistent XLA compilation cache:
+# XLA:CPU caches AOT machine code whose recorded "machine features" include
+# compiler pseudo-features (+prefer-no-gather etc.) that never match the
+# host CPUID at load time — observed first as warnings, then as a hard
+# SIGSEGV inside compilation_cache.get_executable_and_time mid-suite.

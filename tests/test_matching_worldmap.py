@@ -153,6 +153,11 @@ class TestExtendMapMatches:
                 bad += 1
         assert good > 60
         assert bad <= good * 0.05
+        # the return value counts EVERY association (seed + grown), matching
+        # the reference semantics (Matcher.cpp:203-381); r1 double-counted
+        # seeds and never counted grown matches
+        n_assoc = sum(1 for mp in f2.map_points if mp is not None)
+        assert n == n_assoc, (n, n_assoc)
 
 
 class TestSim3Solver:
