@@ -53,7 +53,13 @@ def make_frames(n=16):
     return frames
 
 
-def bench_frontend(B=16, n_batches=8):
+def bench_frontend(B=32, n_batches=16, depth=3):
+    """Depth-3 pipelined front-end: batch k+1 uploads and batch k computes
+    while batch k-1's D2H drains and finalizes on host — the tunnel link
+    (~40 MB/s each way) fully overlaps the device program. Serving config:
+    bf16 convs (f32 accumulation), int8 descriptor transfer with
+    per-descriptor scales (component error ~1e-3, keypoint/edge decisions
+    identical to f32 — see tests/test_extractor.py)."""
     from ppg_slam_tpu.geometry.cameras import CAM_PINHOLE, CameraModel
     from ppg_slam_tpu.frontend import PPGExtractor
 
@@ -61,20 +67,23 @@ def bench_frontend(B=16, n_batches=8):
         kind=CAM_PINHOLE, fx=458.654, fy=457.296, cx=367.215, cy=248.375,
         dist=(-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05),
         width=752, height=480)
-    ex = PPGExtractor(cam, desc_transfer="f16")
+    ex = PPGExtractor(cam, desc_transfer="i8", compute_dtype="bf16")
     frames = make_frames(B)
     feats = ex.extract_batch(frames)  # compile
     assert feats[0].n_kp > 100 and len(feats[0].edges) > 50
 
+    pend = []
+    for _ in range(depth - 1):
+        pend.append(ex.extract_batch_async(frames))
     times = []
-    pend = ex.extract_batch_async(frames)
-    for _ in range(n_batches):
+    for i in range(n_batches):
         t0 = time.perf_counter()
-        nxt = ex.extract_batch_async(frames)
-        pend.result()
-        pend = nxt
+        pend.append(ex.extract_batch_async(frames))
+        feats = pend.pop(0).result()
+        assert len(feats) == B
         times.append(time.perf_counter() - t0)
-    pend.result()
+    for h in pend:
+        h.result()
     return float(np.median(times)) / B * 1e3
 
 

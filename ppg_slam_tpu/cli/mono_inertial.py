@@ -23,7 +23,8 @@ import numpy as np
 
 def run(dataset_kind: str, voc: str, settings: str, weights: str,
         data: str, out_dir: str = ".", max_frames: int = 0,
-        realtime_factor: float = 0.0, progress_every: int = 100) -> dict:
+        realtime_factor: float = 0.0, progress_every: int = 100,
+        render_dir: str = "", render_every: int = 10) -> dict:
     import cv2
 
     from ..datasets import load_euroc, load_tumvi, load_uma
@@ -36,7 +37,9 @@ def run(dataset_kind: str, voc: str, settings: str, weights: str,
         images = images[:max_frames]
         stamps = stamps[:max_frames]
 
-    slam = System(voc, settings, weights_path=weights or None)
+    slam = System(voc, settings, weights_path=weights or None,
+                  use_viewer=bool(render_dir), viewer_out_dir=render_dir,
+                  viewer_every=render_every)
     t_last_imu = -np.inf
     t_track = []
     for k, (path, ts) in enumerate(zip(images, stamps)):
@@ -67,7 +70,11 @@ def run(dataset_kind: str, voc: str, settings: str, weights: str,
                  keyframes=slam.map.n_keyframes(),
                  map_points=slam.map.n_map_points(),
                  loops=slam.loop_closing.n_loops_closed)
-    print(stats)
+    from ..utils import profiler
+
+    print(profiler.report(), file=sys.stderr)
+    stats["stages"] = profiler.summary()
+    print({k: v for k, v in stats.items() if k != "stages"})
     return stats
 
 
@@ -81,10 +88,14 @@ def main() -> None:
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--realtime-factor", type=float, default=0.0)
+    ap.add_argument("--render-dir", default="",
+                    help="dump offline-viewer PNGs (map + frame overlay)")
+    ap.add_argument("--render-every", type=int, default=10)
     a = ap.parse_args()
     run(a.kind, a.vocabulary, a.settings, a.weights, a.dataset,
         out_dir=a.out_dir, max_frames=a.max_frames,
-        realtime_factor=a.realtime_factor)
+        realtime_factor=a.realtime_factor, render_dir=a.render_dir,
+        render_every=a.render_every)
 
 
 if __name__ == "__main__":

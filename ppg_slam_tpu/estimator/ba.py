@@ -49,7 +49,7 @@ def _sqrt_info_psd(M: np.ndarray) -> np.ndarray:
 
 
 def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
-                  opts):
+                  opts, abort_check=None, chunk: int = 2):
     """solve_ba with KF/MP slot counts padded to pow2 buckets.
 
     Local windows grow by a few KFs/MPs per call; without slot padding every
@@ -81,9 +81,44 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
         pts_pad = np.tile(np.float32([0.0, 0.0, 1.0]), (M - m, 1))
         points = jnp.concatenate([points, jnp.asarray(pts_pad)])
         mp_free = np.concatenate([mp_free, np.zeros(M - m, bool)])
-    st, pts, info = solve_ba(states, points, prob, jnp.asarray(kf_dof),
-                             jnp.asarray(mp_free), jnp.asarray(rig.Rcb),
-                             jnp.asarray(rig.tcb), rig.cam, opts)
+    args = (prob, jnp.asarray(kf_dof), jnp.asarray(mp_free),
+            jnp.asarray(rig.Rcb), jnp.asarray(rig.tcb), rig.cam)
+    if abort_check is None or opts.iters <= chunk:
+        st, pts, info = solve_ba(states, points, *args, opts)
+    else:
+        # interruptible solve: run the damped-GN loop in fixed-size chunks,
+        # checking the abort flag between chunks — the TPU equivalent of the
+        # reference's force-stop flag polled inside g2o's LM loop
+        # (OptimizerLBA.cpp:112-113; set by InsertKeyFrame,
+        # LocalMapping.cpp:368-431). Chunk size is constant and lam0 is
+        # always a traced array (including the first chunk) so ALL chunks
+        # share one compiled program per shape bucket.
+        import dataclasses as _dc
+
+        copts = _dc.replace(opts, iters=chunk)
+        done = 0
+        lam = jnp.asarray(opts.lambda0, jnp.float32)
+        st, pts = states, points
+        info = None
+        prev_chi2 = np.inf
+        stalled_chunks = 0
+        while done < opts.iters:
+            st, pts, info = solve_ba(st, pts, *args, copts, lam0=lam)
+            lam = info["lam"]
+            done += chunk
+            chi2 = float(info["final_chi2"])
+            if chi2 < prev_chi2 and chi2 > (1.0 - opts.tol) * prev_chi2:
+                break  # converged: accepted progress with small gain
+            # a chunk with NO accepted step is lambda search, not
+            # convergence — allow 3 such chunks before giving up
+            stalled_chunks = stalled_chunks + 1 if chi2 >= prev_chi2 else 0
+            if stalled_chunks >= 3:
+                break
+            prev_chi2 = min(chi2, prev_chi2)
+            if done < opts.iters and abort_check():
+                info["aborted"] = True
+                break
+        info["iters_run"] = done
     return (KFStates(st.R[:n], st.t[:n], st.v[:n], st.bg[:n], st.ba[:n]),
             pts[:m], info)
 
@@ -289,8 +324,9 @@ def _coline_edge_cleanup(wmap: Map, mps: List[MapPoint]) -> None:
 # ---------------------------------------------------------------------------
 
 def local_bundle_adjustment(kf: KeyFrame, wmap: Map,
-                            iters: int = 10) -> None:
-    """Visual local BA (OptimizerLBA.cpp:35-329)."""
+                            iters: int = 10, abort_check=None) -> None:
+    """Visual local BA (OptimizerLBA.cpp:35-329). abort_check: polled
+    between GN chunks (the reference's force-stop flag, :112-113)."""
     rig = wmap.rig
     local = [kf] + [k for k in kf.ordered_connected if not k.is_bad()]
     local_ids = {k.mnId for k in local}
@@ -331,7 +367,8 @@ def local_bundle_adjustment(kf: KeyFrame, wmap: Map,
 
     opts = BAOptions(iters=iters, lambda0=100.0, reproj_kernel="cauchy")
     st, pts, info = _padded_solve(states, points, prob, kf_dof,
-                                  np.asarray(mp_free), rig, opts)
+                                  np.asarray(mp_free), rig, opts,
+                                  abort_check=abort_check)
 
     _apply_outlier_pass(info, refs)
     free = kf_dof.any(axis=1)
@@ -346,7 +383,8 @@ def local_bundle_adjustment(kf: KeyFrame, wmap: Map,
 
 
 def local_inertial_ba(kf: KeyFrame, wmap: Map, b_large: bool = False,
-                      b_rec_init: bool = False, iters: int = 10) -> None:
+                      b_rec_init: bool = False, iters: int = 10,
+                      abort_check=None) -> None:
     """Visual-inertial local BA (OptimizerLBA.cpp:354-846)."""
     rig = wmap.rig
     max_opt = 50
@@ -406,7 +444,8 @@ def local_inertial_ba(kf: KeyFrame, wmap: Map, b_large: bool = False,
     opts = BAOptions(iters=iters, lambda0=(1e-2 if b_large else 1e0),
                      reproj_kernel="cauchy")
     st, pts, info = _padded_solve(states, points, prob, kf_dof,
-                                  np.asarray(mp_free), rig, opts)
+                                  np.asarray(mp_free), rig, opts,
+                                  abort_check=abort_check)
 
     # depth-aware chi2 (close = tracked depth < 10, :743-750); we use the
     # optimized depth as the closeness proxy
@@ -425,21 +464,29 @@ def local_inertial_ba(kf: KeyFrame, wmap: Map, b_large: bool = False,
 
 
 def global_bundle_adjustment(wmap: Map, iters: int = 20, loop_kf: int = 0,
-                             robust: bool = True) -> None:
-    """Visual-only GBA (OptimizerGBA.cpp:24-289)."""
+                             robust: bool = True, abort_check=None,
+                             map_lock=None) -> None:
+    """Visual-only GBA (OptimizerGBA.cpp:24-289). map_lock (if given) guards
+    the host gather/write phases so a background-thread GBA (the reference's
+    RunGlobalBundleAdjustment thread, LoopClosing.cpp:1050) does not race
+    tracking; the device solve runs unlocked."""
+    from contextlib import nullcontext
+
+    guard = map_lock if map_lock is not None else nullcontext()
     rig = wmap.rig
-    kfs = wmap.all_keyframes()
-    mps = wmap.all_map_points()
-    if len(kfs) < 2 or not mps:
-        return
-    kfs.sort(key=lambda k: k.mnId)
-    kf_index = {k.mnId: i for i, k in enumerate(kfs)}
-    mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
-    states = _body_states(kfs, rig)
-    points = jnp.asarray(np.stack([mp.pos for mp in mps]))
-    r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps, mp_index)
-    c_idx, c_w, _ = _gather_colines(wmap, mp_index)
-    prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w)
+    with guard:
+        kfs = wmap.all_keyframes()
+        mps = wmap.all_map_points()
+        if len(kfs) < 2 or not mps:
+            return
+        kfs.sort(key=lambda k: k.mnId)
+        kf_index = {k.mnId: i for i, k in enumerate(kfs)}
+        mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
+        states = _body_states(kfs, rig)
+        points = jnp.asarray(np.stack([mp.pos for mp in mps]))
+        r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps, mp_index)
+        c_idx, c_w, _ = _gather_colines(wmap, mp_index)
+        prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w)
 
     kf_dof = np.zeros((len(kfs), 15), bool)
     kf_dof[:, :6] = True
@@ -447,57 +494,66 @@ def global_bundle_adjustment(wmap: Map, iters: int = 20, loop_kf: int = 0,
     opts = BAOptions(iters=iters, lambda0=1e-5,
                      reproj_kernel="cauchy" if robust else "none")
     st, pts, info = _padded_solve(states, points, prob, kf_dof,
-                                  np.ones(len(mps), bool), rig, opts)
+                                  np.ones(len(mps), bool), rig, opts,
+                                  abort_check=abort_check)
 
     R = np.asarray(st.R)
     t = np.asarray(st.t)
     pts_np = np.asarray(pts)
-    if loop_kf == 0:
-        _write_back_poses(kfs, st, rig, np.ones(len(kfs), bool),
-                          velocities=False)
-        for j, mp in enumerate(mps):
-            mp.pos = pts_np[j].copy()
-            mp.update_normal_and_depth()
-        _coline_edge_cleanup(wmap, mps)
-    else:
-        for i, kf in enumerate(kfs):
-            Rbw = R[i].T
-            tbw = -Rbw @ t[i]
-            kf.gba_Rcw = rig.Rcb @ Rbw
-            kf.gba_tcw = rig.Rcb @ tbw + rig.tcb
-            kf.ba_global_for_kf = loop_kf
-        for j, mp in enumerate(mps):
-            mp.gba_pos = pts_np[j].copy()
-            mp.ba_global_for_kf = loop_kf
-    wmap.info_map_change()
+    with guard:
+        if loop_kf == 0:
+            _write_back_poses(kfs, st, rig, np.ones(len(kfs), bool),
+                              velocities=False)
+            for j, mp in enumerate(mps):
+                mp.pos = pts_np[j].copy()
+                mp.update_normal_and_depth()
+            _coline_edge_cleanup(wmap, mps)
+        else:
+            for i, kf in enumerate(kfs):
+                Rbw = R[i].T
+                tbw = -Rbw @ t[i]
+                kf.gba_Rcw = rig.Rcb @ Rbw
+                kf.gba_tcw = rig.Rcb @ tbw + rig.tcb
+                kf.ba_global_for_kf = loop_kf
+            for j, mp in enumerate(mps):
+                mp.gba_pos = pts_np[j].copy()
+                mp.ba_global_for_kf = loop_kf
+        wmap.info_map_change()
 
 
 def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
                      b_init: bool = False, prior_g: float = 1e2,
-                     prior_a: float = 1e6) -> None:
-    """Visual-inertial global BA (OptimizerGBA.cpp:291-683)."""
+                     prior_a: float = 1e6, abort_check=None,
+                     map_lock=None) -> None:
+    """Visual-inertial global BA (OptimizerGBA.cpp:291-683). map_lock guards
+    the host gather/write phases for background-thread GBA (see
+    global_bundle_adjustment)."""
+    from contextlib import nullcontext
+
+    guard = map_lock if map_lock is not None else nullcontext()
     rig = wmap.rig
-    kfs = sorted(wmap.all_keyframes(), key=lambda k: k.mnId)
-    mps = wmap.all_map_points()
-    if len(kfs) < 2 or not mps:
-        return
-    kf_index = {k.mnId: i for i, k in enumerate(kfs)}
-    mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
-    states = _body_states(kfs, rig)
-    points = jnp.asarray(np.stack([mp.pos for mp in mps]))
-    r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps, mp_index)
-    c_idx, c_w, _ = _gather_colines(wmap, mp_index)
-    links = _gather_links(kfs, kf_index)
-    if links is not None and b_init:
-        # single shared bias: make the random-walk links rigid
-        links[14] = np.broadcast_to(np.eye(3, dtype=np.float32) * 1e4,
-                                    links[14].shape).copy()
-        links[15] = np.broadcast_to(np.eye(3, dtype=np.float32) * 1e4,
-                                    links[15].shape).copy()
-    # bias priors on the LAST keyframe (OptimizerGBA.cpp:466-472)
-    bias_priors = ([kf_index[kfs[-1].mnId]], [prior_g], [prior_a])
-    prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w, links=links,
-                        bias_priors=bias_priors)
+    with guard:
+        kfs = sorted(wmap.all_keyframes(), key=lambda k: k.mnId)
+        mps = wmap.all_map_points()
+        if len(kfs) < 2 or not mps:
+            return
+        kf_index = {k.mnId: i for i, k in enumerate(kfs)}
+        mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
+        states = _body_states(kfs, rig)
+        points = jnp.asarray(np.stack([mp.pos for mp in mps]))
+        r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps, mp_index)
+        c_idx, c_w, _ = _gather_colines(wmap, mp_index)
+        links = _gather_links(kfs, kf_index)
+        if links is not None and b_init:
+            # single shared bias: make the random-walk links rigid
+            links[14] = np.broadcast_to(np.eye(3, dtype=np.float32) * 1e4,
+                                        links[14].shape).copy()
+            links[15] = np.broadcast_to(np.eye(3, dtype=np.float32) * 1e4,
+                                        links[15].shape).copy()
+        # bias priors on the LAST keyframe (OptimizerGBA.cpp:466-472)
+        bias_priors = ([kf_index[kfs[-1].mnId]], [prior_g], [prior_a])
+        prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w, links=links,
+                            bias_priors=bias_priors)
 
     kf_dof = np.zeros((len(kfs), 15), bool)
     kf_dof[:, :] = True
@@ -505,31 +561,34 @@ def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
     opts = BAOptions(iters=min(iters, 25), lambda0=1e-5,
                      reproj_kernel="huber")
     st, pts, info = _padded_solve(states, points, prob, kf_dof,
-                                  np.ones(len(mps), bool), rig, opts)
+                                  np.ones(len(mps), bool), rig, opts,
+                                  abort_check=abort_check)
 
     pts_np = np.asarray(pts)
-    if loop_kf == 0:
-        _write_back_poses(kfs, st, rig, np.ones(len(kfs), bool),
-                          velocities=True)
-        for j, mp in enumerate(mps):
-            mp.pos = pts_np[j].copy()
-            mp.update_normal_and_depth()
-        _coline_edge_cleanup(wmap, mps)
-    else:
-        R = np.asarray(st.R)
-        t = np.asarray(st.t)
-        v = np.asarray(st.v)
-        bg = np.asarray(st.bg)
-        ba = np.asarray(st.ba)
-        for i, kf in enumerate(kfs):
-            Rbw = R[i].T
-            tbw = -Rbw @ t[i]
-            kf.gba_Rcw = rig.Rcb @ Rbw
-            kf.gba_tcw = rig.Rcb @ tbw + rig.tcb
-            kf.gba_vel = v[i].copy()
-            kf.gba_bias = np.concatenate([bg[i], ba[i]]).astype(np.float32)
-            kf.ba_global_for_kf = loop_kf
-        for j, mp in enumerate(mps):
-            mp.gba_pos = pts_np[j].copy()
-            mp.ba_global_for_kf = loop_kf
-    wmap.info_map_change()
+    with guard:
+        if loop_kf == 0:
+            _write_back_poses(kfs, st, rig, np.ones(len(kfs), bool),
+                              velocities=True)
+            for j, mp in enumerate(mps):
+                mp.pos = pts_np[j].copy()
+                mp.update_normal_and_depth()
+            _coline_edge_cleanup(wmap, mps)
+        else:
+            R = np.asarray(st.R)
+            t = np.asarray(st.t)
+            v = np.asarray(st.v)
+            bg = np.asarray(st.bg)
+            ba = np.asarray(st.ba)
+            for i, kf in enumerate(kfs):
+                Rbw = R[i].T
+                tbw = -Rbw @ t[i]
+                kf.gba_Rcw = rig.Rcb @ Rbw
+                kf.gba_tcw = rig.Rcb @ tbw + rig.tcb
+                kf.gba_vel = v[i].copy()
+                kf.gba_bias = np.concatenate([bg[i], ba[i]]).astype(
+                    np.float32)
+                kf.ba_global_for_kf = loop_kf
+            for j, mp in enumerate(mps):
+                mp.gba_pos = pts_np[j].copy()
+                mp.ba_global_for_kf = loop_kf
+        wmap.info_map_change()

@@ -162,6 +162,10 @@ class BAOptions:
     coline_delta: float = 2.795532  # sqrt(7.815)
     pcg_iters: int = 4              # landmark-system PCG (coline coupling)
     chi2_inlier_mono: float = 5.991
+    # terminate when the accepted chi2 gain stays below tol (relative) for
+    # two consecutive iterations — g2o's default terminate action (small
+    # gain stops the LM loop); 0 disables and always runs `iters`.
+    tol: float = 1e-3
 
 
 # ---------------------------------------------------------------------------
@@ -526,11 +530,16 @@ def _chi2_only(states, points, prob, cam, Rcb, tcb, opts):
 @functools.partial(jax.jit, static_argnames=("cam", "opts"))
 def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
              kf_dof: jax.Array, mp_free: jax.Array, Rcb: jax.Array,
-             tcb: jax.Array, cam: CameraModel, opts: BAOptions):
+             tcb: jax.Array, cam: CameraModel, opts: BAOptions,
+             lam0: Optional[float] = None):
     """Run `opts.iters` damped-GN iterations. Returns (states, points, info).
 
-    info carries per-iteration chi2 for diagnostics and the final per-obs
-    chi2 / depth-positivity for the callers' outlier classification.
+    info carries per-iteration chi2 for diagnostics, the final damping
+    (``lam``, so chunked callers can resume), and the final per-obs chi2 /
+    depth-positivity for the callers' outlier classification. ``lam0``
+    overrides opts.lambda0 when resuming a chunked solve (see
+    ba.solve_chunked / the reference's force-stop flag checked inside g2o,
+    OptimizerLBA.cpp:112-113).
     """
     n = states.R.shape[0]
     m = points.shape[0]
@@ -623,10 +632,49 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
                                                          chi2)), chi2
         return (new_states, new_points, lam, chi2), chi2
 
-    init = (states, points, jnp.asarray(opts.lambda0, dtype),
+    init = (states, points,
+            jnp.asarray(opts.lambda0 if lam0 is None else lam0, dtype),
             jnp.asarray(jnp.inf, dtype))
-    (states_f, points_f, _, final_chi2), chi2_hist = jax.lax.scan(
-        solve_iter, init, None, length=opts.iters)
+    if opts.tol <= 0.0:
+        (states_f, points_f, lam_f, final_chi2), chi2_hist = jax.lax.scan(
+            solve_iter, init, None, length=opts.iters)
+        iters_run = jnp.asarray(opts.iters, jnp.int32)
+    else:
+        # bounded while_loop with g2o-style small-gain termination: stop
+        # once an ACCEPTED step improves chi2 by < tol (relative) twice in
+        # a row. Rejected LM steps are part of the lambda search, not
+        # convergence — they don't count as stalls, but 6 consecutive
+        # rejections (lambda grew 4^6x without one accept) also stop.
+        hist0 = jnp.zeros(opts.iters, dtype)
+
+        def w_cond(c):
+            it, _, _, _, _, stall, rej, _ = c
+            return (it < opts.iters) & (stall < 2) & (rej < 6)
+
+        def w_body(c):
+            it, st, pts, lam, last, stall, rej, hist = c
+            (st2, pts2, lam2, chi2_acc), chi2_pre = solve_iter(
+                (st, pts, lam, last), None)
+            hist = hist.at[it].set(chi2_pre)
+            accepted = chi2_acc < last
+            rel_gain = (last - chi2_acc) / jnp.maximum(chi2_acc, 1e-20)
+            small = rel_gain < opts.tol
+            stall = jnp.where(accepted, jnp.where(small, stall + 1, 0),
+                              stall)
+            rej = jnp.where(accepted, 0, rej + 1)
+            return (it + 1, st2, pts2, lam2, chi2_acc, stall, rej, hist)
+
+        it_f, states_f, points_f, lam_f, final_chi2, _, _, chi2_hist = (
+            jax.lax.while_loop(
+                w_cond, w_body,
+                (jnp.asarray(0, jnp.int32), init[0], init[1], init[2],
+                 init[3], jnp.asarray(0, jnp.int32),
+                 jnp.asarray(0, jnp.int32), hist0)))
+        # unexecuted slots hold the final accepted chi2 so hist stays
+        # monotone-looking for diagnostics ([-1] == converged value)
+        chi2_hist = jnp.where(jnp.arange(opts.iters) < it_f, chi2_hist,
+                              final_chi2)
+        iters_run = it_f
 
     # final per-observation chi2 + depth for outlier classification
     res_fn = make_reproj_residual(cam, Rcb, tcb)
@@ -641,5 +689,6 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
 
     obs_chi2_v, obs_depth = jax.vmap(obs_chi2)(prob.r_kf, prob.r_mp, prob.r_uv)
     return states_f, points_f, dict(chi2_hist=chi2_hist,
-                                    final_chi2=final_chi2,
+                                    final_chi2=final_chi2, lam=lam_f,
+                                    iters_run=iters_run,
                                     obs_chi2=obs_chi2_v, obs_depth=obs_depth)

@@ -113,15 +113,20 @@ class PPGExtractor:
     """Per-camera fused front-end. Thread-compatible with the tracking loop."""
 
     def __init__(self, camera: CameraModel, weights_path: Optional[str] = None,
-                 max_kp: int = MAX_KEYPOINTS, desc_transfer: str = "f32"):
+                 max_kp: int = MAX_KEYPOINTS, desc_transfer: str = "f32",
+                 compute_dtype: str = "f32"):
         """desc_transfer: "f32" (exact, default), "f16" (halves the per-frame
         device->host payload; ~5e-4 descriptor error, far below the 0.7/0.8
-        matching thresholds), or "none" (descriptors stay device-resident —
-        for device-side matching / front-end-only serving)."""
-        assert desc_transfer in ("f32", "f16", "none")
+        matching thresholds), "i8" (quarter payload; per-descriptor scale
+        quantization, ~2e-3 component error — see tests/test_extractor.py
+        desc-quantization test), or "none" (descriptors stay device-resident
+        — for device-side matching / front-end-only serving)."""
+        assert desc_transfer in ("f32", "f16", "i8", "none")
+        assert compute_dtype in ("f32", "bf16")
         self.camera = camera
         self.max_kp = max_kp
         self.desc_transfer = desc_transfer
+        self.compute_dtype = compute_dtype
         self.params = load_params(weights_path) if weights_path else load_params()
         self._has_dist = any(abs(d) > 0 for d in camera.dist)
         if self._has_dist:
@@ -145,10 +150,11 @@ class PPGExtractor:
         src_w = self._src_w if has_dist else 0
         desc_mode = desc_transfer
         is_fisheye = camera.is_fisheye
+        net_dtype = jnp.bfloat16 if compute_dtype == "bf16" else None
 
         def stage(params, image_u8, mapx, mapy, band_lo, col_lo):
             img = image_u8.astype(jnp.float32) / 255.0
-            out = ppg_forward(params, img[None, :, :, None])
+            out = ppg_forward(params, img[None, :, :, None], dtype=net_dtype)
             junc = out["junc_prob"][0]
             heat = out["heat"][0]
             desc_map = out["desc"][0]
@@ -173,20 +179,32 @@ class PPGExtractor:
             good, lscore, overflow = validate_candidates(
                 heat, kp_un, sel["ci"], sel["cj"], dist_c, sel["cand_valid"])
 
+            # candidate geometry (dist/ang) is NOT transferred: it is a pure
+            # function of kp_un + ci/cj, recomputed on host in _finish —
+            # the D2H link (~30-40 MB/s through the tunnel) is the front-end
+            # bottleneck, so only device-only information ships.
             out = dict(
                 kp_score=kp_score, n_kp=jnp.sum(kp_valid),
                 kp_un=kp_un, kp_ok=kp_ok,
                 ci=sel["ci"].astype(jnp.int16), cj=sel["cj"].astype(jnp.int16),
-                n_cand=sel["n_cand"], dist=dist_c, ang_ab=ang_ab,
-                ang_ba=ang_ba, good=good, lscore=lscore,
+                n_cand=sel["n_cand"], good=good, lscore=lscore,
                 saturated=sel["saturated"] | overflow,
             )
             if is_fisheye:  # pinhole: mPos is overwritten by mPosUn anyway
                 out["kp_pos"] = kp_pos
             if desc_mode != "none":
                 descs = sample_descriptors(desc_map, kp_pos, kp_valid, w, h)
-                out["descs"] = (descs if desc_mode == "f32"
-                                else descs.astype(jnp.float16))
+                if desc_mode == "f32":
+                    out["descs"] = descs
+                elif desc_mode == "f16":
+                    out["descs"] = descs.astype(jnp.float16)
+                else:  # i8: per-descriptor max-abs scale quantization
+                    scale = jnp.maximum(jnp.max(jnp.abs(descs), axis=1),
+                                        1e-8)
+                    q = jnp.clip(jnp.round(descs / scale[:, None] * 127.0),
+                                 -127, 127).astype(jnp.int8)
+                    out["descs"] = q
+                    out["desc_scale"] = scale.astype(jnp.float16)
             return out
 
         self._stage = jax.jit(stage)
@@ -253,13 +271,25 @@ class PPGExtractor:
         kp_un = a["kp_un"][:n_kp]
         kp_ok = a["kp_ok"][:n_kp]
 
+        # recompute candidate geometry from kp_un (mirrors the device's
+        # ops/pairs.py candidate_geometry; same f32 inputs -> same values)
+        ci = a["ci"][:n_cand].astype(np.int64)
+        cj = a["cj"][:n_cand].astype(np.int64)
+        kp_all = a["kp_un"]
+        d = kp_all[cj] - kp_all[ci]
+        dist_c = np.sqrt(np.sum(d * d, axis=-1), dtype=np.float32)
+        ang_ab = np.arctan2(d[:, 1], d[:, 0]).astype(np.float32)
+        ang_ba = np.arctan2(-d[:, 1], -d[:, 0]).astype(np.float32)
         edges, lscore, colines, connected = finalize_graph(
-            a["ci"][:n_cand], a["cj"][:n_cand], a["dist"][:n_cand],
-            a["ang_ab"][:n_cand], a["ang_ba"][:n_cand],
-            a["good"][:n_cand], a["lscore"][:n_cand], n_kp)
+            a["ci"][:n_cand], a["cj"][:n_cand], dist_c, ang_ab, ang_ba,
+            a["good"][:n_cand],
+            a["lscore"][:n_cand], n_kp)
 
         if "descs" in a:
             desc_out = a["descs"][:n_kp].astype(np.float32)
+            if "desc_scale" in a:  # i8 transfer: dequantize
+                desc_out *= (a["desc_scale"][:n_kp].astype(np.float32)
+                             / 127.0)[:, None]
             if n_kp < MIN_KP_FOR_DESC:  # reference genPointDescriptor quirk
                 desc_out[:] = 0.0
         else:

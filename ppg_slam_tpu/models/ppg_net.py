@@ -47,9 +47,16 @@ def load_params(path: str = DEFAULT_WEIGHTS) -> Dict[str, Any]:
     return params
 
 
-def _conv(x, w, b, *, same: bool = True):
-    """NHWC conv with f32 accumulation (MXU: preferred_element_type)."""
+def _conv(x, w, b, *, same: bool = True, dtype=None):
+    """NHWC conv with f32 accumulation (MXU: preferred_element_type).
+
+    dtype=jnp.bfloat16 runs the MXU in bf16 (2x flops on TPU) with f32
+    accumulation — the standard TPU serving configuration; activations stay
+    f32 between layers so only the matmul operands narrow."""
     pad = "SAME" if same else "VALID"
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -81,57 +88,65 @@ def _pixel_shuffle(x, r: int):
     return x.reshape(n, h * r, w * r, c)
 
 
-def backbone_apply(params, x):
+def backbone_apply(params, x, dtype=None):
     """SuperpointBackbone (net/Backbone.pt): VGG-ish, 3 maxpools -> 1/8 res."""
     p = params["backbone"]
-    x = jax.nn.relu(_conv(x, p["conv1a"]["w"], p["conv1a"]["b"]))
-    x = jax.nn.relu(_conv(x, p["conv1b"]["w"], p["conv1b"]["b"]))
+    x = jax.nn.relu(_conv(x, p["conv1a"]["w"], p["conv1a"]["b"], dtype=dtype))
+    x = jax.nn.relu(_conv(x, p["conv1b"]["w"], p["conv1b"]["b"], dtype=dtype))
     x = _maxpool2(x)
-    x = jax.nn.relu(_conv(x, p["conv2a"]["w"], p["conv2a"]["b"]))
-    x = jax.nn.relu(_conv(x, p["conv2b"]["w"], p["conv2b"]["b"]))
+    x = jax.nn.relu(_conv(x, p["conv2a"]["w"], p["conv2a"]["b"], dtype=dtype))
+    x = jax.nn.relu(_conv(x, p["conv2b"]["w"], p["conv2b"]["b"], dtype=dtype))
     x = _maxpool2(x)
-    x = jax.nn.relu(_conv(x, p["conv3a"]["w"], p["conv3a"]["b"]))
-    x = jax.nn.relu(_conv(x, p["conv3b"]["w"], p["conv3b"]["b"]))
+    x = jax.nn.relu(_conv(x, p["conv3a"]["w"], p["conv3a"]["b"], dtype=dtype))
+    x = jax.nn.relu(_conv(x, p["conv3b"]["w"], p["conv3b"]["b"], dtype=dtype))
     x = _maxpool2(x)
-    x = jax.nn.relu(_conv(x, p["conv4a"]["w"], p["conv4a"]["b"]))
-    x = jax.nn.relu(_conv(x, p["conv4b"]["w"], p["conv4b"]["b"]))
+    x = jax.nn.relu(_conv(x, p["conv4a"]["w"], p["conv4a"]["b"], dtype=dtype))
+    x = jax.nn.relu(_conv(x, p["conv4b"]["w"], p["conv4b"]["b"], dtype=dtype))
     return x
 
 
-def junction_apply(params, feat):
+def junction_apply(params, feat, dtype=None):
     p = params["junction"]
-    x = jax.nn.relu(_conv(feat, p["convPa"]["w"], p["convPa"]["b"]))
-    return _conv(x, p["convPb"]["w"], p["convPb"]["b"])  # (N, H/8, W/8, 65)
+    x = jax.nn.relu(_conv(feat, p["convPa"]["w"], p["convPa"]["b"],
+                          dtype=dtype))
+    return _conv(x, p["convPb"]["w"], p["convPb"]["b"],
+                 dtype=dtype)  # (N, H/8, W/8, 65)
 
 
-def descriptor_apply(params, feat):
+def descriptor_apply(params, feat, dtype=None):
     p = params["descriptor"]
-    x = jax.nn.relu(_conv(feat, p["convDa"]["w"], p["convDa"]["b"]))
-    return _conv(x, p["convDb"]["w"], p["convDb"]["b"])  # (N, H/8, W/8, 256)
+    x = jax.nn.relu(_conv(feat, p["convDa"]["w"], p["convDa"]["b"],
+                          dtype=dtype))
+    return _conv(x, p["convDb"]["w"], p["convDb"]["b"],
+                 dtype=dtype)  # (N, H/8, W/8, 256)
 
 
-def heatmap_apply(params, feat):
+def heatmap_apply(params, feat, dtype=None):
     p = params["heatmap"]
     x = feat
     for blk in range(3):
         bp = p[f"block{blk}"]
-        x = jax.nn.relu(_bn(_conv(x, bp["w"], bp["b"]), bp, blk))
+        x = jax.nn.relu(_bn(_conv(x, bp["w"], bp["b"], dtype=dtype), bp, blk))
         x = _pixel_shuffle(x, 2)
-    return _conv(x, p["final"]["w"], p["final"]["b"])  # (N, H, W, 2)
+    return _conv(x, p["final"]["w"], p["final"]["b"],
+                 dtype=dtype)  # (N, H, W, 2)
 
 
-def ppg_forward(params, image):
+def ppg_forward(params, image, dtype=None):
     """Full fused forward. image: (N, H, W, 1) float32 in [0, 1].
+
+    dtype=jnp.bfloat16 runs all conv matmuls in bf16 with f32 accumulation
+    (the TPU serving configuration; see _conv).
 
     Returns dict with:
       junc_prob: (N, H, W) full-res junction probability (softmax + shuffle)
       heat:      (N, H, W) full-res line heat (softmax channel 1)
       desc:      (N, H/8, W/8, 256) raw semi-dense descriptors
     """
-    feat = backbone_apply(params, image)
-    junc_logits = junction_apply(params, feat)  # 65 ch at 1/8
-    heat_logits = heatmap_apply(params, feat)  # 2 ch at full res
-    desc = descriptor_apply(params, feat)
+    feat = backbone_apply(params, image, dtype=dtype)
+    junc_logits = junction_apply(params, feat, dtype=dtype)  # 65 ch at 1/8
+    heat_logits = heatmap_apply(params, feat, dtype=dtype)  # 2 ch full res
+    desc = descriptor_apply(params, feat, dtype=dtype)
 
     junc_norm = jax.nn.softmax(junc_logits, axis=-1)
     junc_prob = _pixel_shuffle(junc_norm[..., :64], 8)[..., 0]

@@ -26,38 +26,65 @@ class LocalMapping:
         self.queue: List[KeyFrame] = []
         self.abort_ba = False
         self._idle = True
+        self._processing = False
+        self.n_ba_aborted = 0  # observability: how many BAs were cut short
 
     def idle(self) -> bool:
         return self._idle and not self.queue
 
     def insert_keyframe(self, kf: KeyFrame) -> None:
+        """Queue a keyframe and abort any running BA (the reference sets
+        mbAbortBA here, LocalMapping.cpp:118-124). If called re-entrantly
+        (from a BA abort-poll or another thread) the enqueued KF is drained
+        by the outer process_all loop."""
         self.queue.append(kf)
         self.abort_ba = True
-        self.process_all()
+        if not self._processing:
+            self.process_all()
 
     def reset(self) -> None:
         self.queue.clear()
 
     # ------------------------------------------------------------------
     def process_all(self) -> None:
-        while self.queue:
-            kf = self.queue.pop(0)
-            self._idle = False
-            try:
-                self.process_keyframe(kf)
-            finally:
-                self._idle = True
+        self._processing = True
+        try:
+            while self.queue:
+                kf = self.queue.pop(0)
+                self._idle = False
+                try:
+                    self.process_keyframe(kf)
+                finally:
+                    self._idle = True
+        finally:
+            self._processing = False
+
+    def _abort_requested(self) -> bool:
+        """Polled between BA GN chunks (reference g2o force-stop flag,
+        OptimizerLBA.cpp:112-113)."""
+        if self.abort_ba:
+            self.n_ba_aborted += 1
+            return True
+        return False
 
     def process_keyframe(self, kf: KeyFrame) -> None:
-        self.search_in_neighbors(kf)
+        from ..utils import profiler
+
+        with profiler.timer("local_mapping.fuse"):
+            self.search_in_neighbors(kf)
         if self.map.n_keyframes() > 2:
-            if self.map.imu_initialized:
-                inliers = (self.tracking.matches_inliers
-                           if self.tracking is not None else 0)
-                b_large = inliers > 75  # LocalMapping.cpp:74
-                local_inertial_ba(kf, self.map, b_large=b_large)
-            else:
-                local_bundle_adjustment(kf, self.map)
+            self.abort_ba = False
+            with profiler.timer("local_mapping.lba"):
+                if self.map.imu_initialized:
+                    inliers = (self.tracking.matches_inliers
+                               if self.tracking is not None else 0)
+                    b_large = inliers > 75  # LocalMapping.cpp:74
+                    local_inertial_ba(kf, self.map, b_large=b_large,
+                                      abort_check=self._abort_requested)
+                else:
+                    local_bundle_adjustment(
+                        kf, self.map, abort_check=self._abort_requested)
+        profiler.count("keyframes")
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(kf)
 

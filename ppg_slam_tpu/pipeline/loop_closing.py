@@ -81,8 +81,20 @@ class LoopClosing:
         self.current_kf: Optional[KeyFrame] = None
         self.n_loops_closed = 0
 
+        # background-GBA protocol (reference LoopClosing.cpp:1050,
+        # mbRunningGBA/mbStopGBA + RunGlobalBundleAdjustment thread).
+        # threaded_gba=False keeps the deterministic synchronous path.
+        self.threaded_gba = False
+        self.gba_running = False
+        self.stop_gba = False
+        self._gba_thread = None
+        self._gba_loop_kf = 0
+        self._gba_included: set = set()  # KF mnIds present when GBA started
+
     # ------------------------------------------------------------------
     def insert_keyframe(self, kf: KeyFrame) -> None:
+        if self.threaded_gba:
+            self.poll_gba()  # apply a finished background GBA (safe point)
         if kf.mnId != 0:
             self.queue.append(kf)
         else:
@@ -103,6 +115,12 @@ class LoopClosing:
 
     # ------------------------------------------------------------------
     def new_detect_common_regions(self) -> bool:
+        from ..utils import profiler
+
+        with profiler.timer("loop_closing.detect"):
+            return self._new_detect_common_regions_impl()
+
+    def _new_detect_common_regions_impl(self) -> bool:
         kf = self.queue.pop(0)
         self.current_kf = kf
         kf.set_not_erase()
@@ -397,8 +415,23 @@ class LoopClosing:
         self.loop_detected = False
 
     def correct_loop(self) -> None:
+        from ..utils import profiler
+
+        profiler.count("loops_closed")
+        with profiler.timer("loop_closing.correct"):
+            return self._correct_loop_impl()
+
+    def _correct_loop_impl(self) -> None:
         wm = self.map
         kf = self.current_kf
+        # a running background GBA is obsolete once a new loop corrects the
+        # map — kill it (reference CorrectLoop :810-834, mbStopGBA)
+        if self.gba_running:
+            self.stop_gba = True
+            if self._gba_thread is not None:
+                self._gba_thread.join()
+                self._gba_thread = None
+            self.gba_running = False
         Scw = self.Slw
         kf.update_connections()
         connected = kf.get_connected_keyframes() + [kf]
@@ -479,7 +512,10 @@ class LoopClosing:
         kf.add_loop_edge(self.matched_kf)
 
         if not wm.imu_initialized or wm.n_keyframes() < 200:
-            self.run_global_ba(kf.mnId)
+            if self.threaded_gba:
+                self.start_gba_thread(kf.mnId)
+            else:
+                self.run_global_ba(kf.mnId)
         self.n_loops_closed += 1
 
     # ------------------------------------------------------------------
@@ -629,23 +665,117 @@ class LoopClosing:
 
     # ------------------------------------------------------------------
     def run_global_ba(self, loop_kf_id: int) -> None:
-        """RunGlobalBundleAdjustment + propagation (LoopClosing.cpp:1139-1289).
-        Synchronous here: no new KFs appear mid-BA, so scratch application is
-        direct."""
+        """RunGlobalBundleAdjustment + propagation (LoopClosing.cpp:1139-1289),
+        synchronous: solve, then apply scratch directly."""
+        self._solve_gba(loop_kf_id, abort_check=None)
+        self._apply_gba(loop_kf_id)
+
+    # -- background-GBA protocol ---------------------------------------
+    def start_gba_thread(self, loop_kf_id: int) -> None:
+        """Spawn GBA on a background thread (reference LoopClosing.cpp:1050).
+        Results are applied by poll_gba() at the next safe point; a newer
+        loop kills the run via stop_gba (CorrectLoop :810-834)."""
+        import threading
+
+        self.stop_gba = False
+        self.gba_running = True
+        self._gba_loop_kf = loop_kf_id
+        self._gba_thread = threading.Thread(
+            target=self._gba_worker, args=(loop_kf_id,), daemon=True)
+        self._gba_thread.start()
+
+    def _gba_worker(self, loop_kf_id: int) -> None:
+        try:
+            self._solve_gba(loop_kf_id,
+                            abort_check=lambda: self.stop_gba)
+        except Exception:  # a dying GBA thread must not take the pipeline down
+            import traceback
+            traceback.print_exc()
+            self.stop_gba = True
+
+    def poll_gba(self, wait: bool = False) -> bool:
+        """Apply finished background-GBA results. Called from the pipeline
+        thread (the reference applies from the GBA thread after stopping
+        LocalMapping; here the pipeline polls at keyframe boundaries, which
+        is the same safe point). Returns True if results were applied."""
+        if not self.gba_running or self._gba_thread is None:
+            return False
+        if wait:
+            self._gba_thread.join()
+        elif self._gba_thread.is_alive():
+            return False
+        self._gba_thread = None
+        self.gba_running = False
+        if self.stop_gba:
+            return False  # killed: scratch discarded
+        with self.map.update_lock:
+            self._apply_gba(self._gba_loop_kf)
+        return True
+
+    def _solve_gba(self, loop_kf_id: int, abort_check) -> None:
+        from ..utils import profiler
+
+        with profiler.timer("loop_closing.gba"):
+            return self._solve_gba_impl(loop_kf_id, abort_check)
+
+    def _solve_gba_impl(self, loop_kf_id: int, abort_check) -> None:
         wm = self.map
+        lock = wm.update_lock if self.threaded_gba else None
         if wm.imu_initialized:
-            full_inertial_ba(wm, iters=50, loop_kf=loop_kf_id, b_init=False)
+            full_inertial_ba(wm, iters=50, loop_kf=loop_kf_id, b_init=False,
+                             abort_check=abort_check, map_lock=lock)
         else:
-            global_bundle_adjustment(wm, iters=10, loop_kf=loop_kf_id)
-        for kf in wm.all_keyframes():
+            global_bundle_adjustment(wm, iters=10, loop_kf=loop_kf_id,
+                                     abort_check=abort_check, map_lock=lock)
+
+    def _apply_gba(self, loop_kf_id: int) -> None:
+        """Propagate GBA scratch to the live map (LoopClosing.cpp:1189-1289):
+        stamped KFs take their optimized pose; KFs created while GBA ran are
+        corrected through their temporal predecessor (the reference walks the
+        spanning tree with mTcwBefGBA), and unstamped MapPoints follow their
+        reference KF's before->after transform."""
+        wm = self.map
+        kfs = sorted(wm.all_keyframes(), key=lambda k: k.mnId)
+        before = {k.mnId: (k.Rcw.copy(), k.tcw.copy()) for k in kfs}
+        for kf in kfs:
             if kf.ba_global_for_kf == loop_kf_id and kf.gba_Rcw is not None:
                 kf.set_pose(kf.gba_Rcw, kf.gba_tcw)
                 if kf.gba_vel is not None:
                     kf.velocity = kf.gba_vel.copy()
                 if kf.gba_bias is not None:
                     kf.bias = kf.gba_bias.copy()
+            else:
+                # mid-GBA keyframe: T_new = T_rel(prev_before) * Tprev_new
+                prev = kf.prev_kf
+                while prev is not None and prev.mnId not in before:
+                    prev = prev.prev_kf
+                if prev is None or prev.ba_global_for_kf != loop_kf_id:
+                    continue
+                Rp_b, tp_b = before[prev.mnId]
+                R_old, t_old = before[kf.mnId]
+                R_rel = R_old @ Rp_b.T
+                t_rel = t_old - R_rel @ tp_b
+                R_new = R_rel @ prev.Rcw
+                t_new = R_rel @ prev.tcw + t_rel
+                # rotate velocity by the world-frame correction
+                dRw = R_new.T @ R_old
+                kf.velocity = (dRw.T @ kf.velocity).astype(np.float32) \
+                    if kf.velocity is not None else kf.velocity
+                kf.set_pose(R_new.astype(np.float32),
+                            t_new.astype(np.float32))
         for mp in wm.all_map_points():
+            if mp.is_bad():
+                continue
             if mp.ba_global_for_kf == loop_kf_id and mp.gba_pos is not None:
                 mp.pos = mp.gba_pos.copy()
+                mp.update_normal_and_depth()
+            else:
+                # correct via its reference KF's before/after pose
+                ref = next(iter(mp.observations), None)
+                if ref is None or ref.mnId not in before:
+                    continue
+                R_b, t_b = before[ref.mnId]
+                Xc = R_b @ mp.pos + t_b
+                mp.pos = (ref.Rcw.T @ (Xc - ref.tcw)).astype(np.float32)
                 mp.update_normal_and_depth()
         wm.info_map_change()

@@ -74,7 +74,9 @@ def camera_from_settings(s: dict) -> CameraModel:
 class System:
     def __init__(self, vocabulary_path: Optional[str], settings_path: str,
                  weights_path: Optional[str] = None, use_viewer: bool = False,
-                 active_loop_closing: bool = True):
+                 active_loop_closing: bool = True,
+                 viewer_out_dir: Optional[str] = None,
+                 viewer_every: int = 10):
         s = load_settings(settings_path)
         cam = camera_from_settings(s)
         MapEdge.view_cos_th = float(s["view_cos_th"])
@@ -96,6 +98,13 @@ class System:
         self.local_mapping.tracking = self.tracking
         self.loop_closing.local_mapper = self.local_mapping
         self.use_viewer = use_viewer
+        self.viewer = None
+        if use_viewer:
+            from ..viz import Viewer
+            self.viewer = Viewer(self.map,
+                                 out_dir=viewer_out_dir,
+                                 render_every=viewer_every)
+            self.tracking.viewer = self.viewer
 
     # ------------------------------------------------------------------
     def track_monocular(self, image: np.ndarray, timestamp: float,

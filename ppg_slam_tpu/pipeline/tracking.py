@@ -90,6 +90,8 @@ class Tracking:
         self.local_keyframes: List[KeyFrame] = []
         self.local_points: List[MapPoint] = []
         self.n_resets = 0
+        # optional offline viewer (reference MSViewing; viz/viewer.py)
+        self.viewer = None
 
     # ------------------------------------------------------------------
     def grab_imu(self, measurements: np.ndarray) -> None:
@@ -98,11 +100,26 @@ class Tracking:
             self.imu_queue.append(np.asarray(m, np.float64))
 
     def grab_image(self, image: np.ndarray, timestamp: float) -> Frame:
-        feats = self.extractor.extract(image)
+        from ..utils import profiler
+
+        with profiler.timer("tracking.extract"):
+            feats = self.extractor.extract(image)
         frame = Frame(feats, timestamp, self.rig)
         frame.prev_frame = self.last_frame
         self.current = frame
-        self.track()
+        if self.viewer is not None:
+            # step-by-step debug gate (reference Tracking.cpp:254-259)
+            self.viewer.wait_step()
+        with profiler.timer("tracking.track"):
+            self.track()
+        profiler.count("frames")
+        if self.viewer is not None:
+            # reference MSViewing::UpdateFrame (Viewer.cpp:410-447)
+            ini = (self.init_frame.kp
+                   if self.init_frame is not None else None)
+            self.viewer.update_frame(frame, self.state, image=image,
+                                     ini_pos=ini,
+                                     ini_matches=self.init_matches)
         return frame
 
     # ------------------------------------------------------------------
@@ -253,6 +270,13 @@ class Tracking:
     # relocalization (Tracking.cpp:1179-1345)
     # ------------------------------------------------------------------
     def relocalization(self) -> bool:
+        from ..utils import profiler
+
+        profiler.count("relocalization_attempts")
+        with profiler.timer("tracking.relocalization"):
+            return self._relocalization_impl()
+
+    def _relocalization_impl(self) -> bool:
         """BoW candidates -> PnP RANSAC -> pose optimization -> projection
         widening. The reference ships this full pipeline but never invokes
         it from Track() (LOST -> reset instead, SURVEY §5); the rebuild
@@ -364,6 +388,12 @@ class Tracking:
     # IMU handling (Tracking.cpp:81-236)
     # ------------------------------------------------------------------
     def preintegrate_imu(self) -> None:
+        from ..utils import profiler
+
+        with profiler.timer("tracking.preintegrate"):
+            return self._preintegrate_imu_impl()
+
+    def _preintegrate_imu_impl(self) -> None:
         frame = self.current
         if frame.prev_frame is None or not self.imu_queue:
             frame.imu_predicted = False
@@ -631,6 +661,12 @@ class Tracking:
     # frame tracking (Tracking.cpp:752-855)
     # ------------------------------------------------------------------
     def _run_pose_optimization(self, frame: Frame) -> int:
+        from ..utils import profiler
+
+        with profiler.timer("tracking.pose_opt"):
+            return self._run_pose_optimization_impl(frame)
+
+    def _run_pose_optimization_impl(self, frame: Frame) -> int:
         matched = [(i, mp) for i, mp in enumerate(frame.map_points)
                    if mp is not None]
         if len(matched) < 3:
@@ -654,6 +690,12 @@ class Tracking:
         return int(n_in)
 
     def _run_pose_inertial(self, frame: Frame, fix_prev: bool) -> int:
+        from ..utils import profiler
+
+        with profiler.timer("tracking.pose_inertial"):
+            return self._run_pose_inertial_impl(frame, fix_prev)
+
+    def _run_pose_inertial_impl(self, frame: Frame, fix_prev: bool) -> int:
         matched = [(i, mp) for i, mp in enumerate(frame.map_points)
                    if mp is not None]
         pad = _pow2(len(matched), lo=128)
@@ -800,6 +842,12 @@ class Tracking:
     # local map tracking (Tracking.cpp:856-1008)
     # ------------------------------------------------------------------
     def track_local_map(self) -> bool:
+        from ..utils import profiler
+
+        with profiler.timer("tracking.local_map"):
+            return self._track_local_map_impl()
+
+    def _track_local_map_impl(self) -> bool:
         frame = self.current
         self.update_local_map()
         self.search_local_points()

@@ -21,8 +21,14 @@ class Map:
     imu_ini_time = 8.0  # config IMU.IniTime (set by System)
 
     def __init__(self, rig: Rig, vocabulary=None):
+        import threading
+
         self.rig = rig
         self.vocabulary = vocabulary
+        # the big map-update lock (reference mMutexMapUpdate, Map.h:145) —
+        # held by background GBA's host gather/propagate phases; the
+        # synchronous pipeline never contends on it
+        self.update_lock = threading.RLock()
         self.keyframes: Set[KeyFrame] = set()
         self.map_points: Set[MapPoint] = set()
         self.map_edges: Set[MapEdge] = set()
@@ -37,6 +43,18 @@ class Map:
         self.imu_initialized = False
         self.inertial_ba1 = False
         self.inertial_ba2 = False
+
+    # locks are not picklable (worldmap/serialize.py pickles the map graph)
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("update_lock", None)
+        return state
+
+    def __setstate__(self, state):
+        import threading
+
+        self.__dict__.update(state)
+        self.update_lock = threading.RLock()
 
     # -- element CRUD (Map.cpp:34-180) ---------------------------------------
     def add_keyframe(self, kf: KeyFrame) -> None:

@@ -13,17 +13,26 @@ def spec_detect_lines(heat, kp_un, kp_ok):
     """Full transcription of PPGExtractor::detectLines (:236-442) on given
     refined+undistorted heat, undistorted keypoints and validity flags.
 
-    Pair geometry comes from the same jnp ops the device program uses
-    (ops.lines.pair_geometry): different libm variants (XLA, glibc atan2f,
-    numpy SIMD) differ by ulps, which cascades through the order-dependent
-    greedy suppression on threshold-degenerate images like this grid — the
-    spec must consume the implementation's geometry to test the ALGORITHM."""
+    Pair geometry must come from the same implementations the extractor
+    uses: different libm variants (XLA, glibc atan2f, numpy SIMD) differ by
+    ulps, which cascades through the order-dependent greedy suppression on
+    threshold-degenerate images like this grid — the spec must consume the
+    implementation's geometry to test the ALGORITHM. The implementation is
+    split like the reference's GPU/CPU boundary: candidate VALIDATION
+    (sample-count/level from dist) runs on device with device-computed dist
+    (ops.pairs.candidate_geometry), while suppression + colines run on host
+    with host-recomputed numpy f32 geometry (extractor._finish — the
+    geometry is a pure function of kp_un, so it is not transferred).
+    The spec mirrors that split: `dist`/`ang` (host numpy, suppression +
+    colines) and `dist_dev` (device jnp, validation)."""
     import jax.numpy as jnp_
 
+    from ppg_slam_tpu.frontend.graph_build import pair_geometry_np
     from ppg_slam_tpu.ops.lines import pair_geometry
 
     n = len(kp_un)
-    dist, ang = [np.asarray(m) for m in pair_geometry(jnp_.asarray(kp_un))]
+    dist, ang = pair_geometry_np(kp_un)
+    dist_dev = np.asarray(pair_geometry(jnp_.asarray(kp_un))[0])
     f32 = np.float32
 
     def wrap_abs(a):
@@ -93,7 +102,7 @@ def spec_detect_lines(heat, kp_un, kp_ok):
         if bad[lid]:
             continue
         ps, pe = kp_un[a0], kp_un[b0]
-        d = dist[a0, b0]  # device-computed f32
+        d = dist_dev[a0, b0]  # device-computed f32 (validation runs on device)
         lvl = min(int(f32(f32(d * f32(inv_scale)) * f32(4.0))), 3)
         seg = int(f32(d * f32(inv_gap[lvl])))
         if seg < 1:
