@@ -246,6 +246,36 @@ def _whiten(J, r, sqi):
     return sqi @ J, sqi @ r
 
 
+# Gathers/scatters with data-dependent indices lower to ~40 ns/element
+# scalar code on TPU; for the O(8k)-observation reprojection set that is
+# milliseconds per linearization. Instead both directions run on the MXU as
+# one-hot matmuls. HIGHEST precision (bf16x6 operand splitting) makes the
+# select EXACT: a 0/1 one-hot row splits exactly into bf16 terms and the
+# f32 operand's 3-way bf16 split re-sums without rounding, so `E @ table`
+# reproduces table rows bit-for-bit.
+_PREC_EXACT = jax.lax.Precision.HIGHEST
+
+
+def _onehot(idx, size, dtype):
+    """(K,) int32 -> (K, size) 0/1 one-hot."""
+    return (idx[:, None] == jnp.arange(size, dtype=jnp.int32)[None, :]
+            ).astype(dtype)
+
+
+def _sel(E, table):
+    """Row-gather table[idx] as E @ table (exact; MXU)."""
+    flat = table.reshape(table.shape[0], -1)
+    out = jnp.matmul(E, flat, precision=_PREC_EXACT)
+    return out.reshape((E.shape[0],) + table.shape[1:])
+
+
+def _accum(E, vals):
+    """Scatter-add: out[s] += sum_{k: idx_k == s} vals[k], as E^T @ vals."""
+    flat = vals.reshape(vals.shape[0], -1)
+    out = jnp.matmul(E.T, flat, precision=_PREC_EXACT)
+    return out.reshape((E.shape[1],) + vals.shape[1:])
+
+
 # ---------------------------------------------------------------------------
 # the solver
 # ---------------------------------------------------------------------------
@@ -273,17 +303,20 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
 
     # ---- reprojection ---------------------------------------------------
     res_fn = make_reproj_residual(cam, Rcb, tcb)
+    E_kf = _onehot(prob.r_kf, n, dtype)   # (O, N)
+    E_mp = _onehot(prob.r_mp, m, dtype)   # (O, M)
+    Rg = _sel(E_kf, states.R)
+    tg = _sel(E_kf, states.t)
+    Xg = _sel(E_mp, points)
 
-    def reproj_one(kf, mp, uv):
-        R, t = states.R[kf], states.t[kf]
-        X = points[mp]
+    def reproj_one(R, t, X, uv):
         r = res_fn(jnp.zeros(DOF, dtype), jnp.zeros(3, dtype), R, t, X, uv)
         Jk, Jx = jax.jacfwd(res_fn, argnums=(0, 1))(
             jnp.zeros(DOF, dtype), jnp.zeros(3, dtype), R, t, X, uv
         )
         return r, Jk, Jx
 
-    r, Jk, Jx = jax.vmap(reproj_one)(prob.r_kf, prob.r_mp, prob.r_uv)
+    r, Jk, Jx = jax.vmap(reproj_one)(Rg, tg, Xg, prob.r_uv)
     rv = prob.r_valid[:, None]
     r = jnp.where(rv, r, 0.0)
     Jk = jnp.where(rv[..., None], Jk, 0.0)
@@ -295,29 +328,36 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
         jnp.where(prob.r_valid,
                   _rho(chi2, opts.reproj_kernel, opts.reproj_delta), 0.0)
     )
-    # apply free masks to Jacobian columns
-    Jk = Jk * dof_mask[prob.r_kf][:, None, :]
-    Jx = Jx * mp_mask[prob.r_mp][:, None, None]
+    # apply free masks to Jacobian columns (mask gathers = exact matmuls)
+    Jk = Jk * _sel(E_kf, dof_mask)[:, None, :]
+    Jx = Jx * _sel(E_mp, mp_mask[:, None])[:, None, :]
     sw = w[:, None, None]
-    Hpp = Hpp.at[prob.r_kf, :, prob.r_kf, :].add(
-        sw * jnp.einsum("odi,odj->oij", Jk, Jk))
-    b_p = b_p.at[prob.r_kf].add(w[:, None] * jnp.einsum("odi,od->oi", Jk, r))
-    Hll = Hll.at[prob.r_mp].add(sw * jnp.einsum("odi,odj->oij", Jx, Jx))
-    b_l = b_l.at[prob.r_mp].add(w[:, None] * jnp.einsum("odi,od->oi", Jx, r))
-    cols = (prob.r_kf * DOF)[:, None, None] + jnp.arange(DOF)[None, None, :]
-    W = W.at[prob.r_mp[:, None, None], jnp.arange(3)[None, :, None], cols].add(
-        sw * jnp.einsum("odi,odj->oij", Jx, Jk))
+    # assembly as E^T-matmuls (MXU) instead of O-sized scatter-adds
+    Hpp = Hpp.at[jnp.arange(n), :, jnp.arange(n), :].add(
+        _accum(E_kf, sw * jnp.einsum("odi,odj->oij", Jk, Jk)))
+    b_p = b_p + _accum(E_kf, w[:, None] * jnp.einsum("odi,od->oi", Jk, r))
+    Hll = Hll + _accum(E_mp, sw * jnp.einsum("odi,odj->oij", Jx, Jx))
+    b_l = b_l + _accum(E_mp, w[:, None] * jnp.einsum("odi,od->oi", Jx, r))
+    # W[m, i, n*15+k]: place each per-obs (3,15) block into its KF column
+    # band via the E_kf outer product, then reduce over observations
+    Bw = sw * jnp.einsum("odi,odj->oij", Jx, Jk)          # (O, 3, 15)
+    C1 = (E_kf[:, None, :, None] * Bw[:, :, None, :]).reshape(
+        E_kf.shape[0], 3, n15)                             # (O, 3, N15)
+    W = W + _accum(E_mp, C1)
 
     # ---- colines --------------------------------------------------------
-    def coline_one(idx, cw):
-        X1, X2, X3 = points[idx[0]], points[idx[1]], points[idx[2]]
+    Ec = [_onehot(prob.c_idx[:, a], m, dtype) for a in range(3)]
+    Xc1, Xc2, Xc3 = (_sel(Ec[0], points), _sel(Ec[1], points),
+                     _sel(Ec[2], points))
+
+    def coline_one(X1, X2, X3):
         z3 = jnp.zeros(3, dtype)
         rc = coline_residual(z3, z3, z3, X1, X2, X3)
         J1, J2, J3 = jax.jacfwd(coline_residual, argnums=(0, 1, 2))(
             z3, z3, z3, X1, X2, X3)
         return rc, J1, J2, J3
 
-    rc, J1, J2, J3 = jax.vmap(coline_one)(prob.c_idx, prob.c_w)
+    rc, J1, J2, J3 = jax.vmap(coline_one)(Xc1, Xc2, Xc3)
     chi2c = jnp.sum(rc * rc, axis=1) * prob.c_w
     wc = KERNELS[opts.coline_kernel](chi2c, opts.coline_delta)
     wc = wc * prob.c_valid * prob.c_w  # includes information weight
@@ -331,17 +371,17 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     J1 = jnp.where(cv, J1, 0.0)
     J2 = jnp.where(cv, J2, 0.0)
     J3 = jnp.where(cv, J3, 0.0)
-    Js = [J1 * mp_mask[prob.c_idx[:, 0]][:, None, None],
-          J2 * mp_mask[prob.c_idx[:, 1]][:, None, None],
-          J3 * mp_mask[prob.c_idx[:, 2]][:, None, None]]
+    Js = [J1 * _sel(Ec[0], mp_mask[:, None])[:, None, :],
+          J2 * _sel(Ec[1], mp_mask[:, None])[:, None, :],
+          J3 * _sel(Ec[2], mp_mask[:, None])[:, None, :]]
     swc = wc[:, None, None]
     for a in range(3):
-        Hll = Hll.at[prob.c_idx[:, a]].add(
-            swc * jnp.einsum("odi,odj->oij", Js[a], Js[a]))
-        b_l = b_l.at[prob.c_idx[:, a]].add(
-            wc[:, None] * jnp.einsum("odi,od->oi", Js[a], rc))
+        Hll = Hll + _accum(Ec[a],
+                           swc * jnp.einsum("odi,odj->oij", Js[a], Js[a]))
+        b_l = b_l + _accum(Ec[a],
+                           wc[:, None] * jnp.einsum("odi,od->oi", Js[a], rc))
     # cross-blocks are handled in the Jacobi refinement (kept out of Schur)
-    coline_terms = (rc, Js, wc)
+    coline_terms = (rc, Js, wc, Ec)
 
     # ---- inertial links ---------------------------------------------------
     def inertial_one(k1, k2, dRm, dVm, dPm, JRg, JVg, JVa, JPg, JPa, b0, sqi,
@@ -463,24 +503,33 @@ def _rho(chi2, kernel: str, delta: float):
 def _chi2_only(states, points, prob, cam, Rcb, tcb, opts):
     """Total robust cost at a state (for LM step accept/reject)."""
     dtype = points.dtype
+    n = states.R.shape[0]
+    m = points.shape[0]
     res_fn = make_reproj_residual(cam, Rcb, tcb)
+    E_kf = _onehot(prob.r_kf, n, dtype)
+    E_mp = _onehot(prob.r_mp, m, dtype)
+    Rg = _sel(E_kf, states.R)
+    tg = _sel(E_kf, states.t)
+    Xg = _sel(E_mp, points)
 
-    def reproj_one(kf, mp, uv):
+    def reproj_one(R, t, X, uv):
         return res_fn(jnp.zeros(DOF, dtype), jnp.zeros(3, dtype),
-                      states.R[kf], states.t[kf], points[mp], uv)
+                      R, t, X, uv)
 
-    r = jax.vmap(reproj_one)(prob.r_kf, prob.r_mp, prob.r_uv)
+    r = jax.vmap(reproj_one)(Rg, tg, Xg, prob.r_uv)
     chi2 = jnp.sum(r * r, axis=1)
     total = jnp.sum(jnp.where(prob.r_valid,
                               _rho(chi2, opts.reproj_kernel,
                                    opts.reproj_delta), 0.0))
 
-    def coline_one(idx):
+    def coline_one(X1, X2, X3):
         z3 = jnp.zeros(3, dtype)
-        return coline_residual(z3, z3, z3, points[idx[0]], points[idx[1]],
-                               points[idx[2]])
+        return coline_residual(z3, z3, z3, X1, X2, X3)
 
-    rc = jax.vmap(coline_one)(prob.c_idx)
+    rc = jax.vmap(coline_one)(
+        _sel(_onehot(prob.c_idx[:, 0], m, dtype), points),
+        _sel(_onehot(prob.c_idx[:, 1], m, dtype), points),
+        _sel(_onehot(prob.c_idx[:, 2], m, dtype), points))
     chi2c = jnp.sum(rc * rc, axis=1) * prob.c_w
     total += jnp.sum(jnp.where(prob.c_valid,
                                _rho(chi2c, opts.coline_kernel,
@@ -579,20 +628,20 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
         # without a sparse factorization (the reference solves the full sparse
         # system instead; see module docstring).
         rhs_l = -(b_l + jnp.einsum("mip,p->mi", W, dx_p))
-        rc, Js, wc = coline_terms
-        c_idx = prob.c_idx
+        rc, Js, wc, Ec = coline_terms
 
         def A_mv(x):
             y = jnp.einsum("mij,mj->mi", Hll_r, x)
+            xg = [_sel(Ec[b], x) for b in range(3)]  # (C, 3) gathers on MXU
             for a in range(3):
-                acc = jnp.zeros((c_idx.shape[0], 3), dtype)
+                acc = jnp.zeros((Ec[0].shape[0], 3), dtype)
                 for bidx in range(3):
                     if bidx == a:
                         continue
                     Hab = wc[:, None, None] * jnp.einsum(
                         "odi,odj->oij", Js[a], Js[bidx])
-                    acc += jnp.einsum("oij,oj->oi", Hab, x[c_idx[:, bidx]])
-                y = y.at[c_idx[:, a]].add(acc)
+                    acc += jnp.einsum("oij,oj->oi", Hab, xg[bidx])
+                y = y + _accum(Ec[a], acc)
             return y
 
         Minv = lambda x: jnp.einsum("mij,mj->mi", Hll_inv, x)
@@ -678,16 +727,18 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
 
     # final per-observation chi2 + depth for outlier classification
     res_fn = make_reproj_residual(cam, Rcb, tcb)
+    E_kf_f = _onehot(prob.r_kf, n, dtype)
+    E_mp_f = _onehot(prob.r_mp, m, dtype)
 
-    def obs_chi2(kf, mp, uv):
-        R, t = states_f.R[kf], states_f.t[kf]
-        X = points_f[mp]
+    def obs_chi2(R, t, X, uv):
         r = res_fn(jnp.zeros(DOF, dtype), jnp.zeros(3, dtype), R, t, X, uv)
         Xb = R.T @ (X - t)
         Xc = Rcb @ Xb + tcb
         return jnp.sum(r * r), Xc[2]
 
-    obs_chi2_v, obs_depth = jax.vmap(obs_chi2)(prob.r_kf, prob.r_mp, prob.r_uv)
+    obs_chi2_v, obs_depth = jax.vmap(obs_chi2)(
+        _sel(E_kf_f, states_f.R), _sel(E_kf_f, states_f.t),
+        _sel(E_mp_f, points_f), prob.r_uv)
     return states_f, points_f, dict(chi2_hist=chi2_hist,
                                     final_chi2=final_chi2, lam=lam_f,
                                     iters_run=iters_run,

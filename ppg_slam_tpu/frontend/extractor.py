@@ -73,38 +73,42 @@ class FrameFeatures:
 
 
 class _Handle:
-    """In-flight extraction: device arrays en route to host."""
+    """In-flight extraction: ONE packed byte buffer en route to host.
 
-    def __init__(self, extractor: "PPGExtractor", dev_out):
+    All device outputs are bitcast+concatenated into a single uint8 buffer
+    on device: over a tunneled TPU link every separately-fetched array costs
+    a full ~25 ms dispatch round trip, so ~15 outputs/frame would spend more
+    time on round trips than on the actual bytes. One buffer = one fetch."""
+
+    def __init__(self, extractor: "PPGExtractor", dev_buf):
         self._ex = extractor
-        self._out = dev_out
-        for leaf in jax.tree_util.tree_leaves(dev_out):
-            try:
-                leaf.copy_to_host_async()
-            except Exception:
-                pass
+        self._buf = dev_buf
+        try:
+            dev_buf.copy_to_host_async()
+        except Exception:
+            pass
 
     def result(self) -> FrameFeatures:
-        return self._ex._finish(jax.device_get(self._out))
+        buf = np.asarray(self._buf)
+        return self._ex._finish(self._ex._unpack(buf))
 
 
 class _BatchHandle:
-    """In-flight batched extraction."""
+    """In-flight batched extraction (one (B, BYTES) uint8 fetch)."""
 
-    def __init__(self, extractor: "PPGExtractor", dev_out, n: int):
+    def __init__(self, extractor: "PPGExtractor", dev_buf, n: int):
         self._ex = extractor
-        self._out = dev_out
+        self._buf = dev_buf
         self._n = n
-        for leaf in jax.tree_util.tree_leaves(dev_out):
-            try:
-                leaf.copy_to_host_async()
-            except Exception:
-                pass
+        try:
+            dev_buf.copy_to_host_async()
+        except Exception:
+            pass
 
     def result(self) -> List[FrameFeatures]:
-        host = jax.device_get(self._out)
+        host = np.asarray(self._buf)
         return [
-            self._ex._finish({k: v[b] for k, v in host.items()})
+            self._ex._finish(self._ex._unpack(host[b]))
             for b in range(self._n)
         ]
 
@@ -152,13 +156,14 @@ class PPGExtractor:
         is_fisheye = camera.is_fisheye
         net_dtype = jnp.bfloat16 if compute_dtype == "bf16" else None
 
-        def stage(params, image_u8, mapx, mapy, band_lo, col_lo):
-            img = image_u8.astype(jnp.float32) / 255.0
-            out = ppg_forward(params, img[None, :, :, None], dtype=net_dtype)
-            junc = out["junc_prob"][0]
-            heat = out["heat"][0]
-            desc_map = out["desc"][0]
+        def nets(params, images_u8):
+            """Batched CNN forwards: convs batch natively on the MXU (weight
+            reuse across frames), unlike the decode below which lax.maps."""
+            imgs = images_u8.astype(jnp.float32)[..., None] / 255.0
+            out = ppg_forward(params, imgs, dtype=net_dtype)
+            return out["junc_prob"], out["heat"], out["desc"]
 
+        def decode(junc, heat, desc_map, mapx, mapy, band_lo, col_lo):
             kp_xy, kp_score, kp_valid = nms_keypoints(junc, max_kp=max_kp)
             kp_pos = kp_xy.astype(jnp.float32)
             kp_un = cam.undistort_points(kp_pos)
@@ -207,20 +212,77 @@ class PPGExtractor:
                     out["desc_scale"] = scale.astype(jnp.float16)
             return out
 
-        self._stage = jax.jit(stage)
+        def stage(params, image_u8, mapx, mapy, band_lo, col_lo):
+            junc, heat, dm = nets(params, image_u8[None])
+            return decode(junc[0], heat[0], dm[0], mapx, mapy, band_lo,
+                          col_lo)
+
+        # ---- single-buffer output packing -----------------------------
+        # Layout derived once via eval_shape so device pack and host unpack
+        # can never drift; canonical ordering = sorted key names.
+        ex_img = jax.ShapeDtypeStruct((cam.height, cam.width), jnp.uint8)
+        ex_map = (jax.ShapeDtypeStruct(self._mapx.shape, self._mapx.dtype)
+                  if has_dist else None)
+        ex_lo = (jax.ShapeDtypeStruct(self._band_lo.shape,
+                                      self._band_lo.dtype)
+                 if has_dist else None)
+        ex_col = (jax.ShapeDtypeStruct(self._col_lo.shape,
+                                       self._col_lo.dtype)
+                  if has_dist else None)
+        out_shapes = jax.eval_shape(stage, self.params, ex_img, ex_map,
+                                    ex_map, ex_lo, ex_col)
+        layout = []
+        off = 0
+        for name in sorted(out_shapes):
+            s = out_shapes[name]
+            np_dtype = np.dtype(np.uint8 if s.dtype == jnp.bool_
+                                else s.dtype)
+            nb = int(np.prod(s.shape, dtype=np.int64)) * np_dtype.itemsize
+            layout.append((name, np_dtype, tuple(s.shape),
+                           s.dtype == jnp.bool_, off, nb))
+            off += nb
+        self._layout = layout
+        self._packed_bytes = off
+
+        def pack(out: dict) -> jnp.ndarray:
+            parts = []
+            for name in sorted(out):
+                x = out[name]
+                if x.dtype == jnp.bool_:
+                    x = x.astype(jnp.uint8)
+                if x.dtype != jnp.uint8:
+                    x = jax.lax.bitcast_convert_type(x, jnp.uint8)
+                parts.append(x.reshape(-1))
+            return jnp.concatenate(parts)
+
+        def stage_packed(params, image_u8, mapx, mapy, band_lo, col_lo):
+            return pack(stage(params, image_u8, mapx, mapy, band_lo, col_lo))
+
+        self._stage = jax.jit(stage_packed)
 
         # batched variant: frames stack on a leading axis; ONE dispatch per
         # batch amortizes dispatch/transfer overheads (crucial over tunneled
         # TPU links where each dispatch round trip serializes at ~30 ms).
-        # lax.map (not vmap): the per-frame program is already MXU-saturating,
-        # so batching buys dispatch amortization, not parallelism — and vmap
-        # lowers the one-hot scan chunks/compactions pathologically (~10x).
+        # The CNN forwards batch natively (one conv over (B, H, W, 1) — MXU
+        # weight reuse); the decode tail runs under lax.map (not vmap): it
+        # is already MXU-saturating per frame, and vmap lowers its one-hot
+        # scan chunks/compactions pathologically (~10x).
         def stage_batch(params, images, mapx, mapy, band_lo, col_lo):
+            junc, heat, dm = nets(params, images)
             return jax.lax.map(
-                lambda im: stage(params, im, mapx, mapy, band_lo, col_lo),
-                images)
+                lambda x: pack(decode(x[0], x[1], x[2], mapx, mapy,
+                                      band_lo, col_lo)),
+                (junc, heat, dm))
 
         self._stage_batch = jax.jit(stage_batch)
+
+    def _unpack(self, buf: np.ndarray) -> dict:
+        """Zero-copy views into one fetched per-frame byte buffer."""
+        out = {}
+        for name, np_dtype, shape, is_bool, off, nb in self._layout:
+            v = buf[off:off + nb].view(np_dtype).reshape(shape)
+            out[name] = v.view(np.bool_) if is_bool else v
+        return out
 
     def warmup(self) -> None:
         """Compile the device program (the reference warms its CUDA nets
@@ -307,7 +369,7 @@ class PPGExtractor:
     # -- test/debug helpers ------------------------------------------------
     def _device_outputs(self, image_u8: np.ndarray) -> dict:
         """The raw (host-fetched) device-program outputs; for spec tests."""
-        return jax.device_get(self.extract_async(image_u8)._out)
+        return self._unpack(np.asarray(self.extract_async(image_u8)._buf))
 
     def device_heat(self, image_u8: np.ndarray) -> np.ndarray:
         """Refined (+remapped) heat as the device program computes it —
