@@ -248,32 +248,48 @@ def _whiten(J, r, sqi):
 
 # Gathers/scatters with data-dependent indices lower to ~40 ns/element
 # scalar code on TPU; for the O(8k)-observation reprojection set that is
-# milliseconds per linearization. Instead both directions run on the MXU as
-# one-hot matmuls. HIGHEST precision (bf16x6 operand splitting) makes the
-# select EXACT: a 0/1 one-hot row splits exactly into bf16 terms and the
-# f32 operand's 3-way bf16 split re-sums without rounding, so `E @ table`
-# reproduces table rows bit-for-bit.
+# milliseconds per linearization. On TPU both directions therefore run on
+# the MXU as one-hot matmuls. HIGHEST precision (bf16x6 operand splitting)
+# makes the select EXACT: a 0/1 one-hot row splits exactly into bf16 terms
+# and the f32 operand's 3-way bf16 split re-sums without rounding, so
+# `E @ table` reproduces table rows bit-for-bit.
+#
+# On CPU the trade inverts completely: scatters/gathers are cheap scalar
+# loops while the dense (O x M) one-hot matmuls are tens of GFLOPs per
+# linearization — so the CPU path (tests, virtual-mesh dryruns) keeps
+# native gather/scatter. `E is None` selects the scatter path throughout.
 _PREC_EXACT = jax.lax.Precision.HIGHEST
 
 
+def _use_onehot() -> bool:
+    return jax.default_backend() != "cpu"
+
+
 def _onehot(idx, size, dtype):
-    """(K,) int32 -> (K, size) 0/1 one-hot."""
+    """(K,) int32 -> (K, size) 0/1 one-hot, or None on CPU backends."""
+    if not _use_onehot():
+        return None
     return (idx[:, None] == jnp.arange(size, dtype=jnp.int32)[None, :]
             ).astype(dtype)
 
 
-def _sel(E, table):
-    """Row-gather table[idx] as E @ table (exact; MXU)."""
+def _sel(E, table, idx=None):
+    """Row-gather table[idx]: E @ table on MXU (exact), table[idx] on CPU."""
+    if E is None:
+        return table[idx]
     flat = table.reshape(table.shape[0], -1)
     out = jnp.matmul(E, flat, precision=_PREC_EXACT)
     return out.reshape((E.shape[0],) + table.shape[1:])
 
 
-def _accum(E, vals):
-    """Scatter-add: out[s] += sum_{k: idx_k == s} vals[k], as E^T @ vals."""
+def _accum_into(target, E, idx, vals):
+    """target[s] += sum_{k: idx_k == s} vals[k] (leading-axis scatter-add):
+    E^T @ vals on MXU, .at[idx].add on CPU."""
+    if E is None:
+        return target.at[idx].add(vals)
     flat = vals.reshape(vals.shape[0], -1)
     out = jnp.matmul(E.T, flat, precision=_PREC_EXACT)
-    return out.reshape((E.shape[1],) + vals.shape[1:])
+    return target + out.reshape((E.shape[1],) + vals.shape[1:])
 
 
 # ---------------------------------------------------------------------------
@@ -303,11 +319,11 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
 
     # ---- reprojection ---------------------------------------------------
     res_fn = make_reproj_residual(cam, Rcb, tcb)
-    E_kf = _onehot(prob.r_kf, n, dtype)   # (O, N)
-    E_mp = _onehot(prob.r_mp, m, dtype)   # (O, M)
-    Rg = _sel(E_kf, states.R)
-    tg = _sel(E_kf, states.t)
-    Xg = _sel(E_mp, points)
+    E_kf = _onehot(prob.r_kf, n, dtype)   # (O, N) or None on CPU
+    E_mp = _onehot(prob.r_mp, m, dtype)   # (O, M) or None on CPU
+    Rg = _sel(E_kf, states.R, prob.r_kf)
+    tg = _sel(E_kf, states.t, prob.r_kf)
+    Xg = _sel(E_mp, points, prob.r_mp)
 
     def reproj_one(R, t, X, uv):
         r = res_fn(jnp.zeros(DOF, dtype), jnp.zeros(3, dtype), R, t, X, uv)
@@ -329,26 +345,40 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
                   _rho(chi2, opts.reproj_kernel, opts.reproj_delta), 0.0)
     )
     # apply free masks to Jacobian columns (mask gathers = exact matmuls)
-    Jk = Jk * _sel(E_kf, dof_mask)[:, None, :]
-    Jx = Jx * _sel(E_mp, mp_mask[:, None])[:, None, :]
+    Jk = Jk * _sel(E_kf, dof_mask, prob.r_kf)[:, None, :]
+    Jx = Jx * _sel(E_mp, mp_mask[:, None], prob.r_mp)[:, None, :]
     sw = w[:, None, None]
-    # assembly as E^T-matmuls (MXU) instead of O-sized scatter-adds
-    Hpp = Hpp.at[jnp.arange(n), :, jnp.arange(n), :].add(
-        _accum(E_kf, sw * jnp.einsum("odi,odj->oij", Jk, Jk)))
-    b_p = b_p + _accum(E_kf, w[:, None] * jnp.einsum("odi,od->oi", Jk, r))
-    Hll = Hll + _accum(E_mp, sw * jnp.einsum("odi,odj->oij", Jx, Jx))
-    b_l = b_l + _accum(E_mp, w[:, None] * jnp.einsum("odi,od->oi", Jx, r))
-    # W[m, i, n*15+k]: place each per-obs (3,15) block into its KF column
-    # band via the E_kf outer product, then reduce over observations
+    # assembly: E^T-matmuls on MXU; scatter-adds on CPU
+    blocks_kk = sw * jnp.einsum("odi,odj->oij", Jk, Jk)
+    if E_kf is None:
+        Hpp = Hpp.at[prob.r_kf, :, prob.r_kf, :].add(blocks_kk)
+    else:
+        Hpp = Hpp.at[jnp.arange(n), :, jnp.arange(n), :].add(
+            _accum_into(jnp.zeros((n, DOF, DOF), dtype), E_kf, prob.r_kf,
+                        blocks_kk))
+    b_p = _accum_into(b_p, E_kf, prob.r_kf,
+                      w[:, None] * jnp.einsum("odi,od->oi", Jk, r))
+    Hll = _accum_into(Hll, E_mp, prob.r_mp,
+                      sw * jnp.einsum("odi,odj->oij", Jx, Jx))
+    b_l = _accum_into(b_l, E_mp, prob.r_mp,
+                      w[:, None] * jnp.einsum("odi,od->oi", Jx, r))
+    # W[m, i, n*15+k]: per-obs (3,15) block into its KF column band
     Bw = sw * jnp.einsum("odi,odj->oij", Jx, Jk)          # (O, 3, 15)
-    C1 = (E_kf[:, None, :, None] * Bw[:, :, None, :]).reshape(
-        E_kf.shape[0], 3, n15)                             # (O, 3, N15)
-    W = W + _accum(E_mp, C1)
+    if E_kf is None:
+        cols = ((prob.r_kf * DOF)[:, None, None]
+                + jnp.arange(DOF)[None, None, :])
+        W = W.at[prob.r_mp[:, None, None],
+                 jnp.arange(3)[None, :, None], cols].add(Bw)
+    else:
+        C1 = (E_kf[:, None, :, None] * Bw[:, :, None, :]).reshape(
+            E_kf.shape[0], 3, n15)                         # (O, 3, N15)
+        W = _accum_into(W, E_mp, prob.r_mp, C1)
 
     # ---- colines --------------------------------------------------------
     Ec = [_onehot(prob.c_idx[:, a], m, dtype) for a in range(3)]
-    Xc1, Xc2, Xc3 = (_sel(Ec[0], points), _sel(Ec[1], points),
-                     _sel(Ec[2], points))
+    Xc1, Xc2, Xc3 = (_sel(Ec[0], points, prob.c_idx[:, 0]),
+                     _sel(Ec[1], points, prob.c_idx[:, 1]),
+                     _sel(Ec[2], points, prob.c_idx[:, 2]))
 
     def coline_one(X1, X2, X3):
         z3 = jnp.zeros(3, dtype)
@@ -371,15 +401,15 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     J1 = jnp.where(cv, J1, 0.0)
     J2 = jnp.where(cv, J2, 0.0)
     J3 = jnp.where(cv, J3, 0.0)
-    Js = [J1 * _sel(Ec[0], mp_mask[:, None])[:, None, :],
-          J2 * _sel(Ec[1], mp_mask[:, None])[:, None, :],
-          J3 * _sel(Ec[2], mp_mask[:, None])[:, None, :]]
+    Js = [J1 * _sel(Ec[0], mp_mask[:, None], prob.c_idx[:, 0])[:, None, :],
+          J2 * _sel(Ec[1], mp_mask[:, None], prob.c_idx[:, 1])[:, None, :],
+          J3 * _sel(Ec[2], mp_mask[:, None], prob.c_idx[:, 2])[:, None, :]]
     swc = wc[:, None, None]
     for a in range(3):
-        Hll = Hll + _accum(Ec[a],
-                           swc * jnp.einsum("odi,odj->oij", Js[a], Js[a]))
-        b_l = b_l + _accum(Ec[a],
-                           wc[:, None] * jnp.einsum("odi,od->oi", Js[a], rc))
+        Hll = _accum_into(Hll, Ec[a], prob.c_idx[:, a],
+                          swc * jnp.einsum("odi,odj->oij", Js[a], Js[a]))
+        b_l = _accum_into(b_l, Ec[a], prob.c_idx[:, a],
+                          wc[:, None] * jnp.einsum("odi,od->oi", Js[a], rc))
     # cross-blocks are handled in the Jacobi refinement (kept out of Schur)
     coline_terms = (rc, Js, wc, Ec)
 
@@ -508,9 +538,9 @@ def _chi2_only(states, points, prob, cam, Rcb, tcb, opts):
     res_fn = make_reproj_residual(cam, Rcb, tcb)
     E_kf = _onehot(prob.r_kf, n, dtype)
     E_mp = _onehot(prob.r_mp, m, dtype)
-    Rg = _sel(E_kf, states.R)
-    tg = _sel(E_kf, states.t)
-    Xg = _sel(E_mp, points)
+    Rg = _sel(E_kf, states.R, prob.r_kf)
+    tg = _sel(E_kf, states.t, prob.r_kf)
+    Xg = _sel(E_mp, points, prob.r_mp)
 
     def reproj_one(R, t, X, uv):
         return res_fn(jnp.zeros(DOF, dtype), jnp.zeros(3, dtype),
@@ -527,9 +557,9 @@ def _chi2_only(states, points, prob, cam, Rcb, tcb, opts):
         return coline_residual(z3, z3, z3, X1, X2, X3)
 
     rc = jax.vmap(coline_one)(
-        _sel(_onehot(prob.c_idx[:, 0], m, dtype), points),
-        _sel(_onehot(prob.c_idx[:, 1], m, dtype), points),
-        _sel(_onehot(prob.c_idx[:, 2], m, dtype), points))
+        _sel(_onehot(prob.c_idx[:, 0], m, dtype), points, prob.c_idx[:, 0]),
+        _sel(_onehot(prob.c_idx[:, 1], m, dtype), points, prob.c_idx[:, 1]),
+        _sel(_onehot(prob.c_idx[:, 2], m, dtype), points, prob.c_idx[:, 2]))
     chi2c = jnp.sum(rc * rc, axis=1) * prob.c_w
     total += jnp.sum(jnp.where(prob.c_valid,
                                _rho(chi2c, opts.coline_kernel,
@@ -630,18 +660,20 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
         rhs_l = -(b_l + jnp.einsum("mip,p->mi", W, dx_p))
         rc, Js, wc, Ec = coline_terms
 
+        c_idx = prob.c_idx
+
         def A_mv(x):
             y = jnp.einsum("mij,mj->mi", Hll_r, x)
-            xg = [_sel(Ec[b], x) for b in range(3)]  # (C, 3) gathers on MXU
+            xg = [_sel(Ec[b], x, c_idx[:, b]) for b in range(3)]
             for a in range(3):
-                acc = jnp.zeros((Ec[0].shape[0], 3), dtype)
+                acc = jnp.zeros((c_idx.shape[0], 3), dtype)
                 for bidx in range(3):
                     if bidx == a:
                         continue
                     Hab = wc[:, None, None] * jnp.einsum(
                         "odi,odj->oij", Js[a], Js[bidx])
                     acc += jnp.einsum("oij,oj->oi", Hab, xg[bidx])
-                y = y + _accum(Ec[a], acc)
+                y = _accum_into(y, Ec[a], c_idx[:, a], acc)
             return y
 
         Minv = lambda x: jnp.einsum("mij,mj->mi", Hll_inv, x)
@@ -737,8 +769,9 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
         return jnp.sum(r * r), Xc[2]
 
     obs_chi2_v, obs_depth = jax.vmap(obs_chi2)(
-        _sel(E_kf_f, states_f.R), _sel(E_kf_f, states_f.t),
-        _sel(E_mp_f, points_f), prob.r_uv)
+        _sel(E_kf_f, states_f.R, prob.r_kf),
+        _sel(E_kf_f, states_f.t, prob.r_kf),
+        _sel(E_mp_f, points_f, prob.r_mp), prob.r_uv)
     return states_f, points_f, dict(chi2_hist=chi2_hist,
                                     final_chi2=final_chi2, lam=lam_f,
                                     iters_run=iters_run,

@@ -12,9 +12,11 @@ one jitted XLA program:
   -> MXU one-hot descriptor sampling
 
 and only the inherently-sequential greedy suppression + coline extraction run
-on host (native C++, ~0.5 ms), consuming device-computed geometry — the heat
-map never leaves the device. Per frame: ONE dispatch, ONE small device->host
-payload (~350 KB, descriptors dominating).
+on host (native C++, ~0.5 ms), consuming host-recomputed candidate geometry —
+the heat map never leaves the device. Per frame: ONE dispatch and ONE packed
+device->host byte buffer (~170 KB with int8 descriptors; every output
+bitcast+concatenated on device because each separately fetched array costs a
+full link round trip — see _Handle).
 
 `extract_async`/`Handle.result` expose a depth-N pipeline: dispatch+transfer
 of frame t+1..t+k overlap the host finish of frame t, hiding device latency —

@@ -461,6 +461,13 @@ class Matcher:
                                   if mp is not None}
         n_fused = 0
         min_x, max_x, min_y, max_y = image_bounds(self.cam)
+        # one (points x kf-features) distance-matrix block (MXU-style
+        # batched desc distances; SURVEY §7 phase 3) instead of per-pair
+        # norms inside the candidate loop
+        dists = _RowCache(kf.descriptors)
+        dists.ensure([mp for mp in points
+                      if mp is not None and not mp.is_bad()
+                      and mp not in already])
         for i, mp in enumerate(points):
             if mp is None or mp.is_bad() or mp in already:
                 continue
@@ -480,9 +487,10 @@ class Matcher:
             cand = kf.features_in_area(uv[0], uv[1], th)
             if not cand:
                 continue
+            row = dists.row(mp)
             best, best_i = 1e6, -1
             for idx in cand:
-                d = float(np.linalg.norm(mp.descriptor - kf.descriptors[idx]))
+                d = row[idx]
                 if d < best:
                     best, best_i = d, idx
             if best <= TH_LOW:
@@ -509,6 +517,9 @@ class Matcher:
         already = {mp for mp in matched if mp is not None}
         n = 0
         min_x, max_x, min_y, max_y = image_bounds(self.cam)
+        dists = _RowCache(kf.descriptors)
+        dists.ensure([mp for mp in points
+                      if not mp.is_bad() and mp not in already])
         for mp in points:
             if mp.is_bad() or mp in already:
                 continue
@@ -528,11 +539,12 @@ class Matcher:
             cand = kf.features_in_area(uv[0], uv[1], th)
             if not cand:
                 continue
+            row = dists.row(mp)
             best, best_i = 1e6, -1
             for idx in cand:
                 if matched[idx] is not None:
                     continue
-                d = float(np.linalg.norm(mp.descriptor - kf.descriptors[idx]))
+                d = row[idx]
                 if d < best:
                     best, best_i = d, idx
             if best <= TH_LOW:
@@ -553,8 +565,10 @@ class Matcher:
 
         sR21 = (1.0 / s12) * R12.T
         t21 = -sR21 @ t12
+        dists1 = _RowCache(kf1.descriptors)
+        dists2 = _RowCache(kf2.descriptors)
 
-        def project_into(kf, Rrel, trel, src_kf, mp):
+        def project_into(kf, Rrel, trel, src_kf, mp, dists):
             Xc_src = src_kf.Rcw @ mp.pos + src_kf.tcw
             Xc = Rrel @ Xc_src + trel
             if Xc[2] < 0:
@@ -565,9 +579,10 @@ class Matcher:
             cand = kf.features_in_area(uv[0], uv[1], th)
             if not cand:
                 return None
+            row = dists.row(mp)
             best, best_i = 1e6, -1
             for idx in cand:
-                d = float(np.linalg.norm(mp.descriptor - kf.descriptors[idx]))
+                d = row[idx]
                 if d < best:
                     best, best_i = d, idx
             return best_i if best <= TH_HIGH else None
@@ -577,14 +592,14 @@ class Matcher:
         for i, mp in enumerate(kf1.map_points):
             if mp is None or mp.is_bad() or mp in already1:
                 continue
-            j = project_into(kf2, sR21, t21, kf1, mp)
+            j = project_into(kf2, sR21, t21, kf1, mp, dists2)
             if j is not None:
                 match1[i] = j
         for j in range(kf2.N):
             mp = kf2.map_points[j]
             if mp is None or mp.is_bad():
                 continue
-            i = project_into(kf1, s12 * R12, t12, kf2, mp)
+            i = project_into(kf1, s12 * R12, t12, kf2, mp, dists1)
             if i is not None:
                 match2[j] = i
         n = 0
@@ -603,6 +618,10 @@ class Matcher:
                                    desc_th: float = TH_HIGH) -> int:
         n = 0
         min_x, max_x, min_y, max_y = image_bounds(self.cam)
+        dists = _RowCache(frame.descriptors)
+        dists.ensure([mp for mp in kf.map_points
+                      if mp is not None and not mp.is_bad()
+                      and mp not in found])
         for mp in kf.map_points:
             if mp is None or mp.is_bad() or mp in found:
                 continue
@@ -615,12 +634,12 @@ class Matcher:
             cand = frame.features_in_area(uv[0], uv[1], th)
             if not cand:
                 continue
+            row = dists.row(mp)
             best, best_i = 1e6, -1
             for idx in cand:
                 if frame.map_points[idx] is not None:
                     continue
-                d = float(np.linalg.norm(mp.descriptor
-                                         - frame.descriptors[idx]))
+                d = row[idx]
                 if d < best:
                     best, best_i = d, idx
             if best <= desc_th:

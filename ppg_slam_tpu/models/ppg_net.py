@@ -51,8 +51,9 @@ def _conv(x, w, b, *, same: bool = True, dtype=None):
     """NHWC conv with f32 accumulation (MXU: preferred_element_type).
 
     dtype=jnp.bfloat16 runs the MXU in bf16 (2x flops on TPU) with f32
-    accumulation — the standard TPU serving configuration; activations stay
-    f32 between layers so only the matmul operands narrow."""
+    accumulation, and STORES intermediate activations in bf16 (half the HBM
+    traffic of the full-res trunk) — the standard TPU serving configuration.
+    Head outputs come back in f32 (the accumulator dtype)."""
     pad = "SAME" if same else "VALID"
     if dtype is not None:
         x = x.astype(dtype)
@@ -63,6 +64,12 @@ def _conv(x, w, b, *, same: bool = True, dtype=None):
         preferred_element_type=jnp.float32,
     )
     return y + b
+
+
+def _act(x, dtype):
+    """Inter-layer activation storage: bf16 when serving in bf16."""
+    y = jax.nn.relu(x)
+    return y if dtype is None else y.astype(dtype)
 
 
 def _maxpool2(x):
@@ -91,32 +98,32 @@ def _pixel_shuffle(x, r: int):
 def backbone_apply(params, x, dtype=None):
     """SuperpointBackbone (net/Backbone.pt): VGG-ish, 3 maxpools -> 1/8 res."""
     p = params["backbone"]
-    x = jax.nn.relu(_conv(x, p["conv1a"]["w"], p["conv1a"]["b"], dtype=dtype))
-    x = jax.nn.relu(_conv(x, p["conv1b"]["w"], p["conv1b"]["b"], dtype=dtype))
+    x = _act(_conv(x, p["conv1a"]["w"], p["conv1a"]["b"], dtype=dtype), dtype)
+    x = _act(_conv(x, p["conv1b"]["w"], p["conv1b"]["b"], dtype=dtype), dtype)
     x = _maxpool2(x)
-    x = jax.nn.relu(_conv(x, p["conv2a"]["w"], p["conv2a"]["b"], dtype=dtype))
-    x = jax.nn.relu(_conv(x, p["conv2b"]["w"], p["conv2b"]["b"], dtype=dtype))
+    x = _act(_conv(x, p["conv2a"]["w"], p["conv2a"]["b"], dtype=dtype), dtype)
+    x = _act(_conv(x, p["conv2b"]["w"], p["conv2b"]["b"], dtype=dtype), dtype)
     x = _maxpool2(x)
-    x = jax.nn.relu(_conv(x, p["conv3a"]["w"], p["conv3a"]["b"], dtype=dtype))
-    x = jax.nn.relu(_conv(x, p["conv3b"]["w"], p["conv3b"]["b"], dtype=dtype))
+    x = _act(_conv(x, p["conv3a"]["w"], p["conv3a"]["b"], dtype=dtype), dtype)
+    x = _act(_conv(x, p["conv3b"]["w"], p["conv3b"]["b"], dtype=dtype), dtype)
     x = _maxpool2(x)
-    x = jax.nn.relu(_conv(x, p["conv4a"]["w"], p["conv4a"]["b"], dtype=dtype))
-    x = jax.nn.relu(_conv(x, p["conv4b"]["w"], p["conv4b"]["b"], dtype=dtype))
+    x = _act(_conv(x, p["conv4a"]["w"], p["conv4a"]["b"], dtype=dtype), dtype)
+    x = _act(_conv(x, p["conv4b"]["w"], p["conv4b"]["b"], dtype=dtype), dtype)
     return x
 
 
 def junction_apply(params, feat, dtype=None):
     p = params["junction"]
-    x = jax.nn.relu(_conv(feat, p["convPa"]["w"], p["convPa"]["b"],
-                          dtype=dtype))
+    x = _act(_conv(feat, p["convPa"]["w"], p["convPa"]["b"],
+                   dtype=dtype), dtype)
     return _conv(x, p["convPb"]["w"], p["convPb"]["b"],
                  dtype=dtype)  # (N, H/8, W/8, 65)
 
 
 def descriptor_apply(params, feat, dtype=None):
     p = params["descriptor"]
-    x = jax.nn.relu(_conv(feat, p["convDa"]["w"], p["convDa"]["b"],
-                          dtype=dtype))
+    x = _act(_conv(feat, p["convDa"]["w"], p["convDa"]["b"],
+                   dtype=dtype), dtype)
     return _conv(x, p["convDb"]["w"], p["convDb"]["b"],
                  dtype=dtype)  # (N, H/8, W/8, 256)
 
@@ -126,7 +133,7 @@ def heatmap_apply(params, feat, dtype=None):
     x = feat
     for blk in range(3):
         bp = p[f"block{blk}"]
-        x = jax.nn.relu(_bn(_conv(x, bp["w"], bp["b"], dtype=dtype), bp, blk))
+        x = _act(_bn(_conv(x, bp["w"], bp["b"], dtype=dtype), bp, blk), dtype)
         x = _pixel_shuffle(x, 2)
     return _conv(x, p["final"]["w"], p["final"]["b"],
                  dtype=dtype)  # (N, H, W, 2)

@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sampling import CHUNK, _pad_to_chunks, bilinear_f32, nearest_binary
+from .sampling import (CHUNK, _pad_to_chunks, bilinear_f32,
+                       nearest_binary_packed, pack_binary_mask)
 
 LINE_HEATMAP_THRESH = 0.2
 LINE_INLIER_RATE = 0.8
@@ -77,7 +78,7 @@ def probe_and_select(heat, kp_un, kp_ok):
     """
     h, w = heat.shape
     k = kp_un.shape[0]
-    mask = (heat >= LINE_HEATMAP_THRESH).astype(jnp.bfloat16)
+    mask = pack_binary_mask(heat >= LINE_HEATMAP_THRESH)
 
     # phase 1: midpoint probe for every (i, j) via outer broadcasting
     x = kp_un[:, 0]
@@ -90,7 +91,7 @@ def probe_and_select(heat, kp_un, kp_ok):
                           jnp.zeros(pad, jnp.int32)])
     xs = jnp.concatenate([_round_clip(pmx.reshape(-1), w - 1),
                           jnp.zeros(pad, jnp.int32)])
-    hit_m = nearest_binary(mask, ys, xs)[:n_flat].reshape(k, k)
+    hit_m = nearest_binary_packed(mask, ys, xs)[:n_flat].reshape(k, k)
     okm = (kp_ok[:, None] & kp_ok[None, :]
            & (jnp.arange(k)[:, None] < jnp.arange(k)[None, :]))
     pass1 = (hit_m & okm).reshape(-1)
@@ -114,7 +115,7 @@ def probe_and_select(heat, kp_un, kp_ok):
                           _round_clip(p08[:, 1], h - 1)])
     xs = jnp.concatenate([_round_clip(p02[:, 0], w - 1),
                           _round_clip(p08[:, 0], w - 1)])
-    hits = nearest_binary(mask, ys, xs)
+    hits = nearest_binary_packed(mask, ys, xs)
     pass2 = valid1 & hits[:PHASE2_CAP] & hits[PHASE2_CAP:]
 
     key2 = jnp.where(pass2, -jnp.arange(PHASE2_CAP, dtype=jnp.int32), neg_big)
@@ -161,7 +162,7 @@ def _validate_grid(heat, mask, ps, pe, seg, n_slots):
     pad = _pad_to_chunks(n) - n
     fy = jnp.concatenate([posy.reshape(-1), jnp.zeros(pad)])
     fx = jnp.concatenate([posx.reshape(-1), jnp.zeros(pad)])
-    inl = nearest_binary(mask, _round_clip(fy, h - 1),
+    inl = nearest_binary_packed(mask, _round_clip(fy, h - 1),
                          _round_clip(fx, w - 1))[:n].reshape(c, n_slots)
     bil = bilinear_f32(heat, fy, fx)[:n].reshape(c, n_slots)
 
@@ -182,7 +183,7 @@ def validate_candidates(heat, kp_un, ci, cj, dist, cand_valid):
     (overflow = more than LONG_CAP long candidates; the excess are dropped).
     """
     h, w = heat.shape
-    mask = (heat > LINE_HEATMAP_THRESH).astype(jnp.bfloat16)
+    mask = pack_binary_mask(heat > LINE_HEATMAP_THRESH)
     inv_scale = 1.0 / np.sqrt(float(h * h + w * w))
     lvl = jnp.clip((dist * inv_scale * 4.0).astype(jnp.int32), 0, 3)
     seg = jnp.clip((dist * jnp.asarray(INV_SAMPLE_GAP, jnp.float32)[lvl])

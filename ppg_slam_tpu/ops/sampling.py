@@ -61,6 +61,60 @@ def nearest_binary(mask_bf16: jax.Array, ys: jax.Array, xs: jax.Array):
     return out.reshape(-1)
 
 
+def pack_binary_mask(mask_bool: jax.Array) -> jax.Array:
+    """Pack a (H, W) boolean mask into (H, ceil(W/8)) bf16 bytes.
+
+    Each output value is an integer 0..255 (exactly representable in bf16:
+    8 significand bits) holding 8 consecutive column bits, LSB = lowest x.
+    Shrinks the one-hot row-matmul table 8x for binary nearest sampling."""
+    h, w = mask_bool.shape
+    w8 = (w + 7) // 8
+    pad = w8 * 8 - w
+    m = mask_bool
+    if pad:
+        m = jnp.concatenate(
+            [m, jnp.zeros((h, pad), mask_bool.dtype)], axis=1)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.float32)
+    packed = jnp.sum(m.reshape(h, w8, 8).astype(jnp.float32)
+                     * weights[None, None, :], axis=2)
+    return packed.astype(jnp.bfloat16)
+
+
+def nearest_binary_packed(packed_bf16: jax.Array, ys: jax.Array,
+                          xs: jax.Array):
+    """nearest_binary against a pack_binary_mask table: 8x narrower matmul.
+
+    The one-hot row pick returns each sample's byte exactly (0/1 one-hot x
+    integers <= 255: bf16-exact); the bit is then extracted with exact f32
+    power-of-two arithmetic. Semantics identical to nearest_binary on the
+    unpacked mask."""
+    h, w8 = packed_bf16.shape
+    n = ys.shape[0]
+    hgrid = jnp.arange(h, dtype=jnp.int32)[None, :]
+    w8grid = jnp.arange(w8, dtype=jnp.int32)[None, :]
+
+    def block(yc, xc):
+        R = (yc[:, None] == hgrid).astype(jnp.bfloat16)
+        rows = jnp.dot(R, packed_bf16,
+                       preferred_element_type=jnp.float32)  # (C, W8) bytes
+        xb = xc // 8
+        byte = jnp.sum(jnp.where(xb[:, None] == w8grid, rows, 0.0), axis=1)
+        p = jnp.exp2((xc - xb * 8).astype(jnp.float32))
+        q = jnp.floor(byte / p)
+        return (q - 2.0 * jnp.floor(q * 0.5)) > 0.5
+
+    if n <= CHUNK:
+        return block(ys, xs)
+
+    def chunk(c, _):
+        yc = jax.lax.dynamic_slice(ys, (c * CHUNK,), (CHUNK,))
+        xc = jax.lax.dynamic_slice(xs, (c * CHUNK,), (CHUNK,))
+        return c + 1, block(yc, xc)
+
+    _, out = jax.lax.scan(chunk, 0, None, length=n // CHUNK)
+    return out.reshape(-1)
+
+
 def bilinear_f32(img: jax.Array, y: jax.Array, x: jax.Array):
     """Bilinear sample of a (H, W) f32 image at float (y, x), zero padding
     outside (ops.heatmap.bilinear_sample semantics). N must be a multiple of

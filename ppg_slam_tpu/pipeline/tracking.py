@@ -1186,6 +1186,8 @@ class Tracking:
         self.velocity = None
         self.t_init = 0.0
         self.preint_from_kf = None
+        from ..worldmap import reset_ids
+        reset_ids()  # reference: KeyFrame/Frame::nNextId = 0 (:1364-1365)
         if self.local_mapper is not None:
             self.local_mapper.reset()
 

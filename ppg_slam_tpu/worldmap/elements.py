@@ -24,6 +24,15 @@ _me_ids = itertools.count()
 _mc_ids = itertools.count()
 
 
+def reset_element_ids() -> None:
+    """Reset MapPoint/MapEdge/MapColine id counters (reference system
+    reset semantics, Tracking.cpp:1351-1384)."""
+    global _mp_ids, _me_ids, _mc_ids
+    _mp_ids = itertools.count()
+    _me_ids = itertools.count()
+    _mc_ids = itertools.count()
+
+
 class MapPoint:
     """3-D landmark (reference feature/MapPoint.*)."""
 

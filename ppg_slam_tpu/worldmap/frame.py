@@ -22,6 +22,15 @@ _frame_ids = itertools.count()
 _kf_ids = itertools.count()
 
 
+def reset_frame_ids() -> None:
+    """Reset the global Frame/KeyFrame id counters (the reference does
+    KeyFrame::nNextId = 0; Frame::nNextId = 0 on system reset,
+    Tracking.cpp:1364-1365)."""
+    global _frame_ids, _kf_ids
+    _frame_ids = itertools.count()
+    _kf_ids = itertools.count()
+
+
 class Rig:
     """Camera + IMU extrinsics (reference IMU::Calib Tbc, System.cpp:85-98)."""
 

@@ -33,3 +33,27 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 # compiler pseudo-features (+prefer-no-gather etc.) that never match the
 # host CPUID at load time — observed first as warnings, then as a hard
 # SIGSEGV inside compilation_cache.get_executable_and_time mid-suite.
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU segfaults inside backend_compile_and_load after several
+    hundred in-process compilations (reproduced twice at the same point of
+    the full suite; never in a single-module run). Dropping the compiled-
+    executable caches at module boundaries keeps the per-process compiler
+    state bounded. Costs a handful of cross-module recompiles."""
+    yield
+    jax.clear_caches()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_id_counters():
+    """Module isolation for the global Frame/KeyFrame/MapPoint id counters
+    (the reference resets nNextId on system reset, Tracking.cpp:1364-1365;
+    tests that index ground truth by frame_id need counters starting at 0)."""
+    from ppg_slam_tpu.worldmap import reset_ids
+
+    reset_ids()
+    yield
