@@ -10,18 +10,20 @@ front-end + BA (BASELINE.md). vs_baseline = 12.5 / measured_ms (>= 1.0 means
 the 4x-speed target is met).
 
 Methodology (this harness runs over a tunneled TPU where each dispatch
-round trip serializes at ~30 ms and D2H runs ~40 MB/s — see
-.claude/skills/verify/SKILL.md): every stage is measured at BATCHED
-steady-state throughput, the deployment shape for faster-than-dispatch-rate
-playback. Stages:
-  * front-end: PPGExtractor.extract_batch (one dispatch per 16 frames,
-    f16 descriptor transfer), median over batches;
+round trip serializes at ~25 ms, D2H runs ~33 MB/s, and D2H serializes
+with device compute — see .claude/skills/verify/SKILL.md): every stage is
+measured at BATCHED steady-state throughput, the deployment shape for
+faster-than-dispatch-rate playback. Stages:
+  * front-end: PPGExtractor.extract_batch_async (one dispatch + ONE packed
+    byte-buffer fetch per 32 frames; bf16 convs, int8 descriptor
+    transfer), pipelined so upload/compute/fetch of adjacent batches
+    overlap; median over batches;
   * pose optimization: 32 independent per-frame pose-only LM problems
     (512 obs each) in one dispatch (vmap), median over batches;
-  * local BA: one solve_ba dispatch on a reference-shaped local window
-    (16 KFs / 1024 points / 8k obs / 512 colines, 6 iterations), amortized
-    over the ~8-frame keyframe interval (reference: KF every >= 0.1 s,
-    Tracking.cpp:913-941, at 20 fps input).
+  * local BA: solve_ba on a reference-shaped local window (16 KFs / 1024
+    points / 8k obs / 512 colines, 6 iterations) with one solve always in
+    flight, amortized over the ~8-frame keyframe interval (reference: KF
+    every >= 0.1 s, Tracking.cpp:913-941, at 20 fps input).
 """
 
 from __future__ import annotations
@@ -72,6 +74,9 @@ def bench_frontend(B=32, n_batches=16, depth=3):
     feats = ex.extract_batch(frames)  # compile
     assert feats[0].n_kp > 100 and len(feats[0].edges) > 50
 
+    # depth-N batch pipeline (a worker-thread finalize overlap was tried
+    # and measured WORSE: the single-core host + client-side lock
+    # serialize the worker's fetch against the main thread's dispatch)
     pend = []
     for _ in range(depth - 1):
         pend.append(ex.extract_batch_async(frames))

@@ -145,42 +145,64 @@ SHORT_S = 32                  # sample slots for short candidates (seg <= 32)
 LONG_CAP = 512                # max long candidates (seg in (32, MAX_SEG])
 
 
-def _validate_grid(heat, mask, ps, pe, seg, n_slots):
-    """Rate/score over a fixed (C, n_slots) sample grid: sample i (1-based)
-    is live iff i <= seg-1. Pure broadcasting — no repeat/pool/gathers; the
-    per-candidate reduction is a row sum of <= n_slots f32 values (exact)."""
-    h, w = heat.shape
-    c = ps.shape[0]
+def _grid_positions(ps, pe, seg, n_slots):
+    """Fixed (C, n_slots) line-sample grid: sample i (1-based) is live iff
+    i <= seg-1. Pure broadcasting — no repeat/pool/gathers."""
     i_s = jnp.arange(1, n_slots + 1, dtype=jnp.float32)[None, :]  # (1, S)
     segf = jnp.maximum(seg, 1).astype(jnp.float32)[:, None]
     step = 1.0 / segf
     live = i_s <= (seg[:, None] - 1).astype(jnp.float32)
     posx = ps[:, 0:1] * (i_s * step) + pe[:, 0:1] * ((segf - i_s) * step)
     posy = ps[:, 1:2] * (i_s * step) + pe[:, 1:2] * ((segf - i_s) * step)
+    return posx, posy, live
 
+
+def _rate_grid(mask, h, w, ps, pe, seg, n_slots):
+    """Inlier rate over a sample grid — nearest sampling of the bit-packed
+    binary mask (cheap: the one-hot table is W/8 wide)."""
+    c = ps.shape[0]
+    posx, posy, live = _grid_positions(ps, pe, seg, n_slots)
     n = c * n_slots
     pad = _pad_to_chunks(n) - n
     fy = jnp.concatenate([posy.reshape(-1), jnp.zeros(pad)])
     fx = jnp.concatenate([posx.reshape(-1), jnp.zeros(pad)])
     inl = nearest_binary_packed(mask, _round_clip(fy, h - 1),
-                         _round_clip(fx, w - 1))[:n].reshape(c, n_slots)
-    bil = bilinear_f32(heat, fy, fx)[:n].reshape(c, n_slots)
-
+                                _round_clip(fx, w - 1))[:n].reshape(c,
+                                                                    n_slots)
     cnt = jnp.sum(jnp.where(live, inl, False).astype(jnp.float32), axis=1)
+    return cnt / jnp.maximum(seg - 1, 1).astype(jnp.float32)
+
+
+def _score_grid(heat, ps, pe, seg, n_slots):
+    """Mean bilinear heat over a sample grid — the expensive f32 sampling;
+    callers compact to rate-passing candidates first (the score only
+    matters where the rate test already passed: `good` requires both)."""
+    c = ps.shape[0]
+    posx, posy, live = _grid_positions(ps, pe, seg, n_slots)
+    n = c * n_slots
+    pad = _pad_to_chunks(n) - n
+    fy = jnp.concatenate([posy.reshape(-1), jnp.zeros(pad)])
+    fx = jnp.concatenate([posx.reshape(-1), jnp.zeros(pad)])
+    bil = bilinear_f32(heat, fy, fx)[:n].reshape(c, n_slots)
     ssum = jnp.sum(jnp.where(live, bil, 0.0), axis=1)
-    denom = jnp.maximum(seg - 1, 1).astype(jnp.float32)
-    return cnt / denom, ssum / denom
+    return ssum / jnp.maximum(seg - 1, 1).astype(jnp.float32)
+
+
+SCORE_S_CAP = 2048            # rate-passing shorts that get a heat score
 
 
 def validate_candidates(heat, kp_un, ci, cj, dist, cand_valid):
-    """Sampled line validation over fixed per-candidate grids.
-
-    Short candidates (seg <= SHORT_S, the vast majority) validate on a
-    (CAND_CAP, SHORT_S) grid; the rare long ones are compacted into a
-    (LONG_CAP, MAX_SEG) grid via top_k and scattered back.
+    """Sampled line validation, rate-gated: the cheap binary inlier RATE
+    (bit-packed nearest sampling) runs for every candidate on fixed grids —
+    shorts on (CAND_CAP, SHORT_S), longs compacted into (LONG_CAP, MAX_SEG)
+    — and the expensive f32 bilinear SCORE runs only for candidates whose
+    rate already passes (`good` requires both, so gating is exact), shorts
+    compacted into (SCORE_S_CAP, SHORT_S), rate-passing longs into
+    (LONG_CAP, MAX_SEG).
 
     Returns (good, lscore, overflow): (CAND_CAP,) bool / f32 / scalar bool
-    (overflow = more than LONG_CAP long candidates; the excess are dropped).
+    (overflow = more long candidates than LONG_CAP or more rate-passing
+    shorts than SCORE_S_CAP; the excess are dropped).
     """
     h, w = heat.shape
     mask = pack_binary_mask(heat > LINE_HEATMAP_THRESH)
@@ -193,40 +215,64 @@ def validate_candidates(heat, kp_un, ci, cj, dist, cand_valid):
     ps = kp_un[ci]
     pe = kp_un[cj]
     is_long = seg > SHORT_S
-
-    rate_s, score_s = _validate_grid(
-        heat, mask, ps, pe, jnp.where(is_long, 0, seg), SHORT_S)
-
-    # compact long candidates (order irrelevant: results scatter back);
-    # the whole long path is skipped via cond when no candidate is long
-    # (the common case on real frames — segments are mostly short)
     neg_big = jnp.int32(-(1 << 30))
-    keyl = jnp.where(is_long, -jnp.arange(CAND_CAP, dtype=jnp.int32), neg_big)
+    iota = jnp.arange(CAND_CAP, dtype=jnp.int32)
+
+    # ---- rate (nearest, full coverage) --------------------------------
+    rate = _rate_grid(mask, h, w, ps, pe, jnp.where(is_long, 0, seg),
+                      SHORT_S)
+    keyl = jnp.where(is_long, -iota, neg_big)
     n_long = jnp.sum(is_long)
 
-    def long_pass(_):
-        vl, _2 = jax.lax.top_k(keyl, LONG_CAP)
+    def long_rate(r):
+        vl, _ = jax.lax.top_k(keyl, LONG_CAP)
         lsel = jnp.where(vl > neg_big, -vl, 0)
         lvalid = vl > neg_big
-        rate_l, score_l = _validate_grid(
-            heat, mask, ps[lsel], pe[lsel],
-            jnp.where(lvalid, seg[lsel], 0), MAX_SEG)
-        rate = rate_s.at[lsel].set(jnp.where(lvalid, rate_l, rate_s[lsel]))
-        score = score_s.at[lsel].set(
-            jnp.where(lvalid, score_l, score_s[lsel]))
-        return rate, score
+        rate_l = _rate_grid(mask, h, w, ps[lsel], pe[lsel],
+                            jnp.where(lvalid, seg[lsel], 0), MAX_SEG)
+        return r.at[lsel].set(jnp.where(lvalid, rate_l, r[lsel]))
 
-    rate, score = jax.lax.cond(
-        n_long > 0, long_pass, lambda _: (rate_s, score_s), None)
-    overflow = n_long > LONG_CAP
+    rate = jax.lax.cond(n_long > 0, long_rate, lambda r: r, rate)
     fits = ~is_long | (jnp.cumsum(is_long) <= LONG_CAP)
+
+    # ---- score (bilinear, rate-gated + compacted) ---------------------
+    need = cand_valid & fits & (seg >= 2) & (rate >= LINE_INLIER_RATE)
+    score = jnp.zeros(CAND_CAP, jnp.float32)
+
+    need_s = need & ~is_long
+    keyss = jnp.where(need_s, -iota, neg_big)
+
+    def short_score(s):
+        vs, _ = jax.lax.top_k(keyss, SCORE_S_CAP)
+        ssel = jnp.where(vs > neg_big, -vs, 0)
+        svalid = vs > neg_big
+        sc = _score_grid(heat, ps[ssel], pe[ssel],
+                         jnp.where(svalid, seg[ssel], 0), SHORT_S)
+        return s.at[ssel].set(jnp.where(svalid, sc, s[ssel]))
+
+    score = jax.lax.cond(jnp.any(need_s), short_score, lambda s: s, score)
+
+    need_l = need & is_long
+    keysl = jnp.where(need_l, -iota, neg_big)
+
+    def long_score(s):
+        vl, _ = jax.lax.top_k(keysl, LONG_CAP)
+        lsel = jnp.where(vl > neg_big, -vl, 0)
+        lvalid = vl > neg_big
+        sc = _score_grid(heat, ps[lsel], pe[lsel],
+                         jnp.where(lvalid, seg[lsel], 0), MAX_SEG)
+        return s.at[lsel].set(jnp.where(lvalid, sc, s[lsel]))
+
+    score = jax.lax.cond(jnp.any(need_l), long_score, lambda s: s, score)
+    overflow = (n_long > LONG_CAP) | (jnp.sum(need_s) > SCORE_S_CAP)
+    fits_s = ~need_s | (jnp.cumsum(need_s) <= SCORE_S_CAP)
 
     # seg == 1: reference NaN -> passes; lscore = defined midpoint heat
     mid = 0.5 * (ps + pe)
     midv = bilinear_f32(heat, mid[:, 1], mid[:, 0])
 
     seg1 = seg == 1
-    good = cand_valid & fits & (
+    good = cand_valid & fits & fits_s & (
         seg1 | ((seg >= 2) & (rate >= LINE_INLIER_RATE)
                 & (score >= LINE_HEATMAP_THRESH)))
     lscore = jnp.where(seg1, midv, rate * score)
