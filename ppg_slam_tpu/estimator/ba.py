@@ -105,7 +105,9 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
         while done < opts.iters:
             st, pts, info = solve_ba(st, pts, *args, copts, lam0=lam)
             lam = info["lam"]
-            done += chunk
+            # the inner while_loop can exit before `chunk` iterations when
+            # opts.tol > 0 — count what actually ran, not the nominal size
+            done += int(info["iters_run"])
             chi2 = float(info["final_chi2"])
             if chi2 < prev_chi2 and chi2 > (1.0 - opts.tol) * prev_chi2:
                 break  # converged: accepted progress with small gain

@@ -116,45 +116,10 @@ class Matcher:
                 n += 1
         return n
 
-    # ------------------------------------------------------------------
-    # frame <- map point set projection (Matcher.cpp:89-200)
-    # ------------------------------------------------------------------
-    def search_by_projection_points(self, frame: Frame,
-                                    points: List[MapPoint],
-                                    th: float = 1.0) -> int:
-        n = 0
-        factor = th != 1.0
-        live = [mp for mp in points
-                if not mp.is_bad() and mp.track_in_view
-                and mp.tracked_by_frame != frame.mnId]
-        if not live or frame.N == 0:
-            return 0
-        dists = _RowCache(frame.descriptors)
-        dists.ensure(live)
-        for mp in live:
-            r = 2.5 if mp.track_view_cos > 0.998 else 4.0
-            if factor:
-                r *= th
-            cand = frame.features_in_area(mp.track_proj_x, mp.track_proj_y, r)
-            if not cand:
-                continue
-            row = dists.row(mp)
-            best, best2, best_i = 1e6, 1e6, -1
-            for idx in cand:
-                cur = frame.map_points[idx]
-                if cur is not None and cur.n_observations() > 0:
-                    continue
-                d = row[idx]
-                if d < best:
-                    best2, best, best_i = best, d, idx
-                elif d < best2:
-                    best2 = d
-            if best <= TH_HIGH:
-                if best > self.nn_ratio * best2:
-                    continue
-                frame.map_points[best_i] = mp
-                n += 1
-        return n
+    # NOTE: the reference's frame <- map-point-set projection flavor
+    # (Matcher.cpp:89-200) is dead code there too — its live tracking flow
+    # uses ExtendMapMatches, and relocalization uses the KF-set flavor
+    # (Tracking.cpp:811,1297). Deliberately not reimplemented.
 
     # ------------------------------------------------------------------
     # PPG image-map association: seed growing (Matcher.cpp:203-381)

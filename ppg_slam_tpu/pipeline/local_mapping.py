@@ -68,6 +68,14 @@ class LocalMapping:
         return False
 
     def process_keyframe(self, kf: KeyFrame) -> None:
+        # Mirror of the reference's mMutexMapUpdate discipline: fuse, BA
+        # write-back and connection updates mutate the map, so they run
+        # under the map update lock (re-entrant; only a background-GBA
+        # thread ever contends — see loop_closing.poll_gba/_solve_gba).
+        with self.map.update_lock:
+            self._process_keyframe_locked(kf)
+
+    def _process_keyframe_locked(self, kf: KeyFrame) -> None:
         from ..utils import profiler
 
         with profiler.timer("local_mapping.fuse"):

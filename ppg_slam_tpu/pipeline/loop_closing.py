@@ -737,6 +737,7 @@ class LoopClosing:
         wm = self.map
         kfs = sorted(wm.all_keyframes(), key=lambda k: k.mnId)
         before = {k.mnId: (k.Rcw.copy(), k.tcw.copy()) for k in kfs}
+        corrected = set()  # KFs updated in this pass (stamped or chained)
         for kf in kfs:
             if kf.ba_global_for_kf == loop_kf_id and kf.gba_Rcw is not None:
                 kf.set_pose(kf.gba_Rcw, kf.gba_tcw)
@@ -744,12 +745,19 @@ class LoopClosing:
                     kf.velocity = kf.gba_vel.copy()
                 if kf.gba_bias is not None:
                     kf.bias = kf.gba_bias.copy()
+                corrected.add(kf.mnId)
             else:
-                # mid-GBA keyframe: T_new = T_rel(prev_before) * Tprev_new
+                # mid-GBA keyframe: T_new = T_rel(prev_before) * Tprev_new.
+                # Ascending-mnId order means a predecessor that was itself
+                # mid-GBA has already been chained through by the time we
+                # reach this KF (the reference walks spanning-tree children,
+                # LoopClosing.cpp:1213), so accept both GBA-stamped and
+                # already-corrected predecessors.
                 prev = kf.prev_kf
                 while prev is not None and prev.mnId not in before:
                     prev = prev.prev_kf
-                if prev is None or prev.ba_global_for_kf != loop_kf_id:
+                if prev is None or (prev.ba_global_for_kf != loop_kf_id
+                                    and prev.mnId not in corrected):
                     continue
                 Rp_b, tp_b = before[prev.mnId]
                 R_old, t_old = before[kf.mnId]
@@ -757,12 +765,14 @@ class LoopClosing:
                 t_rel = t_old - R_rel @ tp_b
                 R_new = R_rel @ prev.Rcw
                 t_new = R_rel @ prev.tcw + t_rel
-                # rotate velocity by the world-frame correction
+                # world-frame velocity correction v' = Rwc_new @ Rcw_old @ v
+                # (LoopClosing.cpp:1217, Tracking.cpp:1624)
                 dRw = R_new.T @ R_old
-                kf.velocity = (dRw.T @ kf.velocity).astype(np.float32) \
+                kf.velocity = (dRw @ kf.velocity).astype(np.float32) \
                     if kf.velocity is not None else kf.velocity
                 kf.set_pose(R_new.astype(np.float32),
                             t_new.astype(np.float32))
+                corrected.add(kf.mnId)
         for mp in wm.all_map_points():
             if mp.is_bad():
                 continue

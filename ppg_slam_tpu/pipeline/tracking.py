@@ -124,6 +124,16 @@ class Tracking:
 
     # ------------------------------------------------------------------
     def track(self) -> None:
+        # The reference holds Map::mMutexMapUpdate across the per-frame
+        # pose-estimation and map-mutation section (Tracking.cpp:333); the
+        # whole step runs under the re-entrant map update lock so a
+        # background-GBA thread's gather/apply phases (loop_closing.py)
+        # always see a consistent map snapshot. Single-threaded pipelines
+        # pay only an uncontended RLock acquire.
+        with self.map.update_lock:
+            self._track_impl()
+
+    def _track_impl(self) -> None:
         frame = self.current
         if self.state != NO_IMAGES_YET and self.last_frame is not None and (
                 self.last_frame.timestamp > frame.timestamp
