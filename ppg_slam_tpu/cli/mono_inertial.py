@@ -24,7 +24,8 @@ import numpy as np
 def run(dataset_kind: str, voc: str, settings: str, weights: str,
         data: str, out_dir: str = ".", max_frames: int = 0,
         realtime_factor: float = 0.0, progress_every: int = 100,
-        render_dir: str = "", render_every: int = 10) -> dict:
+        render_dir: str = "", render_every: int = 10,
+        loop_closing: bool = True, eval_gt: str = "") -> dict:
     import cv2
 
     from ..datasets import load_euroc, load_tumvi, load_uma
@@ -39,7 +40,8 @@ def run(dataset_kind: str, voc: str, settings: str, weights: str,
 
     slam = System(voc, settings, weights_path=weights or None,
                   use_viewer=bool(render_dir), viewer_out_dir=render_dir,
-                  viewer_every=render_every)
+                  viewer_every=render_every,
+                  active_loop_closing=loop_closing)
     t_last_imu = -np.inf
     t_track = []
     for k, (path, ts) in enumerate(zip(images, stamps)):
@@ -74,6 +76,15 @@ def run(dataset_kind: str, voc: str, settings: str, weights: str,
 
     print(profiler.report(), file=sys.stderr)
     stats["stages"] = profiler.summary()
+    if eval_gt:
+        import os
+
+        from ..utils.evaluation import evaluate_files
+
+        res = evaluate_files(os.path.join(out_dir, "CameraTrajectory.txt"),
+                             eval_gt, with_scale=True)
+        stats["ate_rmse"] = res.rmse
+        print(f"ATE RMSE (Sim3, {res.n_pairs} pairs): {res.rmse:.4f} m")
     print({k: v for k, v in stats.items() if k != "stages"})
     return stats
 
@@ -91,11 +102,18 @@ def main() -> None:
     ap.add_argument("--render-dir", default="",
                     help="dump offline-viewer PNGs (map + frame overlay)")
     ap.add_argument("--render-every", type=int, default=10)
+    ap.add_argument("--no-loop-closing", action="store_true",
+                    help="disable loop closing (the reference UMA config's "
+                         "ActiveLoop: 0 intent)")
+    ap.add_argument("--eval-gt", default="",
+                    help="ground-truth trajectory (TUM or EuRoC CSV); "
+                         "report Sim3 ATE RMSE after the run")
     a = ap.parse_args()
     run(a.kind, a.vocabulary, a.settings, a.weights, a.dataset,
         out_dir=a.out_dir, max_frames=a.max_frames,
         realtime_factor=a.realtime_factor, render_dir=a.render_dir,
-        render_every=a.render_every)
+        render_every=a.render_every, loop_closing=not a.no_loop_closing,
+        eval_gt=a.eval_gt)
 
 
 if __name__ == "__main__":

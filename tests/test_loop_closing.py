@@ -23,24 +23,15 @@ VOC_PATH = "/root/reference/Vocabulary/voc_euroc_9x3.gz"
 def _ate(kf_list, seq):
     """RMSE of KF camera centers vs ground truth after Sim3 (Umeyama)
     alignment."""
+    from ppg_slam_tpu.utils.evaluation import ate_rmse
+
     est, gt = [], []
     for kf in kf_list:
         if kf.is_bad():
             continue
         est.append(kf.camera_center())
         gt.append(seq.frame_poses[kf.frame_id][1])
-    E = np.stack(est)
-    G = np.stack(gt)
-    mu_e, mu_g = E.mean(0), G.mean(0)
-    U, D, Vt = np.linalg.svd((G - mu_g).T @ (E - mu_e) / len(E))
-    S = np.eye(3)
-    if np.linalg.det(U @ Vt) < 0:
-        S[2, 2] = -1
-    R = U @ S @ Vt
-    s = np.trace(np.diag(D) @ S) / (E - mu_e).var(0).sum()
-    t = mu_g - s * R @ mu_e
-    resid = (E @ (s * R).T + t) - G
-    return float(np.sqrt((resid ** 2).sum(1).mean()))
+    return ate_rmse(np.stack(est), np.stack(gt), with_scale=True)
 
 
 @pytest.fixture(scope="module")

@@ -16,20 +16,12 @@ from ppg_slam_tpu.pipeline.tracking import OK, Tracking
 from ppg_slam_tpu.worldmap import Map, Rig
 
 
+from ppg_slam_tpu.utils.evaluation import umeyama
+
+
 def umeyama_align(est: np.ndarray, gt: np.ndarray, with_scale=True):
-    """Sim3 alignment (evo-style) returning aligned estimate."""
-    mu_e = est.mean(0)
-    mu_g = gt.mean(0)
-    E = est - mu_e
-    G = gt - mu_g
-    C = G.T @ E / len(est)
-    U, D, Vt = np.linalg.svd(C)
-    S = np.eye(3)
-    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
-        S[2, 2] = -1
-    R = U @ S @ Vt
-    s = np.trace(np.diag(D) @ S) / E.var(0).sum() if with_scale else 1.0
-    t = mu_g - s * R @ mu_e
+    """Sim3 alignment (evo-style) returning aligned estimate + scale."""
+    s, R, t = umeyama(est, gt, with_scale=with_scale)
     return est @ (s * R).T + t, s
 
 
