@@ -25,7 +25,9 @@ def run(dataset_kind: str, voc: str, settings: str, weights: str,
         data: str, out_dir: str = ".", max_frames: int = 0,
         realtime_factor: float = 0.0, progress_every: int = 100,
         render_dir: str = "", render_every: int = 10,
-        loop_closing: bool = True, eval_gt: str = "") -> dict:
+        loop_closing: bool = True, eval_gt: str = "",
+        async_frontend: bool = False, threaded_gba: bool = False,
+        serving: bool = False) -> dict:
     import cv2
 
     from ..datasets import load_euroc, load_tumvi, load_uma
@@ -41,18 +43,39 @@ def run(dataset_kind: str, voc: str, settings: str, weights: str,
     slam = System(voc, settings, weights_path=weights or None,
                   use_viewer=bool(render_dir), viewer_out_dir=render_dir,
                   viewer_every=render_every,
-                  active_loop_closing=loop_closing)
+                  active_loop_closing=loop_closing,
+                  async_frontend=async_frontend, threaded_gba=threaded_gba,
+                  desc_transfer="device" if serving else "f32",
+                  compute_dtype="bf16" if serving else "f32")
     t_last_imu = -np.inf
     t_track = []
+    lookahead = (slam.prefetcher.batch * slam.prefetcher.depth
+                 if slam.prefetcher is not None else 0)
+    imgs_cache = {}
+
+    def read(k):
+        if k not in imgs_cache:
+            imgs_cache[k] = cv2.imread(images[k], cv2.IMREAD_GRAYSCALE)
+        return imgs_cache[k]
+
+    fed = 0
     for k, (path, ts) in enumerate(zip(images, stamps)):
-        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        img = read(k)
+        imgs_cache.pop(k, None)
         if img is None:
             print(f"warning: missing image {path}", file=sys.stderr)
             continue
         sel = (imu[:, 6] > t_last_imu) & (imu[:, 6] <= ts)
         t_last_imu = ts
         t0 = time.perf_counter()
+        if slam.prefetcher is not None:
+            while fed <= k or fed < min(k + 1 + lookahead, len(images)):
+                nxt = read(fed)
+                if nxt is not None:
+                    slam.feed_frame(nxt)
+                fed += 1
         slam.track_monocular(img, float(ts), imu[sel])
+        slam.poll_background()
         dt = time.perf_counter() - t0
         t_track.append(dt)
         if realtime_factor > 0:
@@ -108,12 +131,21 @@ def main() -> None:
     ap.add_argument("--eval-gt", default="",
                     help="ground-truth trajectory (TUM or EuRoC CSV); "
                          "report Sim3 ATE RMSE after the run")
+    ap.add_argument("--async-frontend", action="store_true",
+                    help="pipeline device extraction ahead of tracking "
+                         "(the reference's thread overlap)")
+    ap.add_argument("--threaded-gba", action="store_true",
+                    help="run loop-closure global BA on a background thread")
+    ap.add_argument("--serving", action="store_true",
+                    help="TPU serving config: bf16 nets + device-resident "
+                         "descriptors with device-side gated matching")
     a = ap.parse_args()
     run(a.kind, a.vocabulary, a.settings, a.weights, a.dataset,
         out_dir=a.out_dir, max_frames=a.max_frames,
         realtime_factor=a.realtime_factor, render_dir=a.render_dir,
         render_every=a.render_every, loop_closing=not a.no_loop_closing,
-        eval_gt=a.eval_gt)
+        eval_gt=a.eval_gt, async_frontend=a.async_frontend,
+        threaded_gba=a.threaded_gba, serving=a.serving)
 
 
 if __name__ == "__main__":

@@ -49,8 +49,13 @@ def _sqrt_info_psd(M: np.ndarray) -> np.ndarray:
 
 
 def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
-                  opts, abort_check=None, chunk: int = 2):
+                  opts, abort_check=None, chunk: int = 2, mesh=None):
     """solve_ba with KF/MP slot counts padded to pow2 buckets.
+
+    mesh: optional jax.sharding.Mesh — routes the solve through the
+    residual-sharded multi-chip solver (parallel/sharded_ba.py), same
+    semantics (full residual set, damped accept/reject loop, abort
+    chunking).
 
     Local windows grow by a few KFs/MPs per call; without slot padding every
     solve_ba call sees fresh (N, M) shapes and triggers a full XLA
@@ -83,8 +88,16 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
         mp_free = np.concatenate([mp_free, np.zeros(M - m, bool)])
     args = (prob, jnp.asarray(kf_dof), jnp.asarray(mp_free),
             jnp.asarray(rig.Rcb), jnp.asarray(rig.tcb), rig.cam)
+    if mesh is not None:
+        from ..parallel.sharded_ba import solve_ba_sharded
+
+        def _solve(st_, pts_, o, **kw):
+            return solve_ba_sharded(st_, pts_, *args, o, mesh, **kw)
+    else:
+        def _solve(st_, pts_, o, **kw):
+            return solve_ba(st_, pts_, *args, o, **kw)
     if abort_check is None or opts.iters <= chunk:
-        st, pts, info = solve_ba(states, points, *args, opts)
+        st, pts, info = _solve(states, points, opts)
     else:
         # interruptible solve: run the damped-GN loop in fixed-size chunks,
         # checking the abort flag between chunks — the TPU equivalent of the
@@ -103,7 +116,7 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
         prev_chi2 = np.inf
         stalled_chunks = 0
         while done < opts.iters:
-            st, pts, info = solve_ba(st, pts, *args, copts, lam0=lam)
+            st, pts, info = _solve(st, pts, copts, lam0=lam)
             lam = info["lam"]
             # the inner while_loop can exit before `chunk` iterations when
             # opts.tol > 0 — count what actually ran, not the nominal size
@@ -467,11 +480,12 @@ def local_inertial_ba(kf: KeyFrame, wmap: Map, b_large: bool = False,
 
 def global_bundle_adjustment(wmap: Map, iters: int = 20, loop_kf: int = 0,
                              robust: bool = True, abort_check=None,
-                             map_lock=None) -> None:
+                             map_lock=None, mesh=None) -> None:
     """Visual-only GBA (OptimizerGBA.cpp:24-289). map_lock (if given) guards
     the host gather/write phases so a background-thread GBA (the reference's
     RunGlobalBundleAdjustment thread, LoopClosing.cpp:1050) does not race
-    tracking; the device solve runs unlocked."""
+    tracking; the device solve runs unlocked. mesh (if given) shards the
+    solve's residual set over the device mesh (parallel/sharded_ba.py)."""
     from contextlib import nullcontext
 
     guard = map_lock if map_lock is not None else nullcontext()
@@ -497,7 +511,7 @@ def global_bundle_adjustment(wmap: Map, iters: int = 20, loop_kf: int = 0,
                      reproj_kernel="cauchy" if robust else "none")
     st, pts, info = _padded_solve(states, points, prob, kf_dof,
                                   np.ones(len(mps), bool), rig, opts,
-                                  abort_check=abort_check)
+                                  abort_check=abort_check, mesh=mesh)
 
     R = np.asarray(st.R)
     t = np.asarray(st.t)
@@ -526,10 +540,11 @@ def global_bundle_adjustment(wmap: Map, iters: int = 20, loop_kf: int = 0,
 def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
                      b_init: bool = False, prior_g: float = 1e2,
                      prior_a: float = 1e6, abort_check=None,
-                     map_lock=None) -> None:
+                     map_lock=None, mesh=None) -> None:
     """Visual-inertial global BA (OptimizerGBA.cpp:291-683). map_lock guards
     the host gather/write phases for background-thread GBA (see
-    global_bundle_adjustment)."""
+    global_bundle_adjustment); mesh shards the residual set over a device
+    mesh (parallel/sharded_ba.py)."""
     from contextlib import nullcontext
 
     guard = map_lock if map_lock is not None else nullcontext()
@@ -564,7 +579,7 @@ def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
                      reproj_kernel="huber")
     st, pts, info = _padded_solve(states, points, prob, kf_dof,
                                   np.ones(len(mps), bool), rig, opts,
-                                  abort_check=abort_check)
+                                  abort_check=abort_check, mesh=mesh)
 
     pts_np = np.asarray(pts)
     with guard:

@@ -297,11 +297,18 @@ def _accum_into(target, E, idx, vals):
 # ---------------------------------------------------------------------------
 
 def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
-                 opts: BAOptions, kf_dof, mp_free):
+                 opts: BAOptions, kf_dof, mp_free, axis=None):
     """One linearization: whitened residuals, Jacobians, robust weights.
 
     Returns (total_chi2, assembled Hpp (N15, N15), b_p (N15,), Hll (M,3,3),
-    b_l (M,3), W (M, 3, N15), coline terms for refinement)."""
+    b_l (M,3), W (M, 3, N15), coline terms for refinement).
+
+    Under `shard_map` (axis = mesh axis name; states/points replicated,
+    every BAProblem residual family sharded on its leading dim) each device
+    linearizes its residual shard and the normal equations are psum-reduced
+    over ICI — communication is O(states^2 + landmark cross blocks),
+    independent of observation count (parallel/sharded_ba.py). The returned
+    coline terms stay LOCAL (per-shard); the PCG matvec psums them."""
     n = states.R.shape[0]
     m = points.shape[0]
     n15 = n * DOF
@@ -515,8 +522,12 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     b_p = b_p.at[prob.bp_kf, S_BG:S_BA].add(wbg[:, None] * bg_v * mgg)
     b_p = b_p.at[prob.bp_kf, S_BA:].add(wba[:, None] * ba_v * mba)
 
-    return chi2_sum, Hpp.reshape(n15, n15), b_p.reshape(n15), Hll, b_l, W, \
-        coline_terms
+    Hpp = Hpp.reshape(n15, n15)
+    b_p = b_p.reshape(n15)
+    if axis is not None:
+        chi2_sum, Hpp, b_p, Hll, b_l, W = jax.lax.psum(
+            (chi2_sum, Hpp, b_p, Hll, b_l, W), axis)
+    return chi2_sum, Hpp, b_p, Hll, b_l, W, coline_terms
 
 
 def _rho(chi2, kernel: str, delta: float):
@@ -530,7 +541,7 @@ def _rho(chi2, kernel: str, delta: float):
     return chi2
 
 
-def _chi2_only(states, points, prob, cam, Rcb, tcb, opts):
+def _chi2_only(states, points, prob, cam, Rcb, tcb, opts, axis=None):
     """Total robust cost at a state (for LM step accept/reject)."""
     dtype = points.dtype
     n = states.R.shape[0]
@@ -603,14 +614,16 @@ def _chi2_only(states, points, prob, cam, Rcb, tcb, opts):
     wba = prob.bp_wa * prob.bp_valid
     total += jnp.sum(wbg * jnp.sum(states.bg[prob.bp_kf] ** 2, 1)
                      + wba * jnp.sum(states.ba[prob.bp_kf] ** 2, 1))
+    if axis is not None:
+        total = jax.lax.psum(total, axis)
     return total
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "opts"))
+@functools.partial(jax.jit, static_argnames=("cam", "opts", "axis"))
 def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
              kf_dof: jax.Array, mp_free: jax.Array, Rcb: jax.Array,
              tcb: jax.Array, cam: CameraModel, opts: BAOptions,
-             lam0: Optional[float] = None):
+             lam0: Optional[float] = None, axis: Optional[str] = None):
     """Run `opts.iters` damped-GN iterations. Returns (states, points, info).
 
     info carries per-iteration chi2 for diagnostics, the final damping
@@ -630,7 +643,8 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
     def solve_iter(carry, _):
         states_c, points_c, lam, last_chi2 = carry
         chi2, Hpp, b_p, Hll, b_l, W, coline_terms = _compute_all(
-            states_c, points_c, prob, cam, Rcb, tcb, opts, kf_dof, mp_free)
+            states_c, points_c, prob, cam, Rcb, tcb, opts, kf_dof, mp_free,
+            axis=axis)
 
         # landmark block inverses (regularized for padded/fixed landmarks)
         eye3 = jnp.eye(3, dtype=dtype)
@@ -663,7 +677,10 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
         c_idx = prob.c_idx
 
         def A_mv(x):
-            y = jnp.einsum("mij,mj->mi", Hll_r, x)
+            # replicated block-diagonal part + (possibly mesh-sharded)
+            # coline cross-block part: Hll_r was already psum'd, the coline
+            # terms are per-shard — reduce their matvec contribution only
+            yc = jnp.zeros_like(x)
             xg = [_sel(Ec[b], x, c_idx[:, b]) for b in range(3)]
             for a in range(3):
                 acc = jnp.zeros((c_idx.shape[0], 3), dtype)
@@ -673,8 +690,10 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
                     Hab = wc[:, None, None] * jnp.einsum(
                         "odi,odj->oij", Js[a], Js[bidx])
                     acc += jnp.einsum("oij,oj->oi", Hab, xg[bidx])
-                y = _accum_into(y, Ec[a], c_idx[:, a], acc)
-            return y
+                yc = _accum_into(yc, Ec[a], c_idx[:, a], acc)
+            if axis is not None:
+                yc = jax.lax.psum(yc, axis)
+            return jnp.einsum("mij,mj->mi", Hll_r, x) + yc
 
         Minv = lambda x: jnp.einsum("mij,mj->mi", Hll_inv, x)
         dx_l = Minv(rhs_l)
@@ -703,7 +722,7 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
 
         if opts.adapt:
             new_chi2 = _chi2_only(new_states, new_points, prob, cam, Rcb, tcb,
-                                  opts)
+                                  opts, axis=axis)
             accept = new_chi2 < chi2
             states_n = jax.tree.map(
                 lambda a, b: jnp.where(accept, a, b), new_states, states_c)

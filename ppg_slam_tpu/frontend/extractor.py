@@ -67,11 +67,25 @@ class FrameFeatures:
     edge_score: np.ndarray  # (E,) lscore
     colines: np.ndarray     # (C, 3) int32 (pivot, p1, p2)
     connected: List[List[int]]  # per-keypoint final edge ids
-    desc: np.ndarray        # (N, 256) float32 L2-normalized
+    desc: Optional[np.ndarray]  # (N, 256) float32 L2-normalized; None when
+    #                             device-resident (fetch via .descriptors)
+    desc_dev: object = None     # device-resident descriptors (desc "device"
+    #                             mode): the (MAX_KP, 256) f32 array, or a
+    #                             (batch_array, index) pair
+    desc_fetch: object = None   # () -> np.ndarray host fetch (i8 transfer)
 
     @property
     def n_kp(self) -> int:
         return len(self.kp_pos)
+
+    @property
+    def descriptors(self) -> np.ndarray:
+        """Host descriptors, fetched from the device on first use (one
+        ~129 KB i8 transfer — paid only by keyframes and fallback paths in
+        the device-matching configuration)."""
+        if self.desc is None:
+            self.desc = self.desc_fetch()
+        return self.desc
 
 
 class _Handle:
@@ -82,9 +96,10 @@ class _Handle:
     a full ~25 ms dispatch round trip, so ~15 outputs/frame would spend more
     time on round trips than on the actual bytes. One buffer = one fetch."""
 
-    def __init__(self, extractor: "PPGExtractor", dev_buf):
+    def __init__(self, extractor: "PPGExtractor", dev_buf, desc_dev=None):
         self._ex = extractor
         self._buf = dev_buf
+        self._desc_dev = desc_dev
         try:
             dev_buf.copy_to_host_async()
         except Exception:
@@ -92,16 +107,19 @@ class _Handle:
 
     def result(self) -> FrameFeatures:
         buf = np.asarray(self._buf)
-        return self._ex._finish(self._ex._unpack(buf))
+        return self._ex._finish(self._ex._unpack(buf),
+                                desc_dev=self._desc_dev)
 
 
 class _BatchHandle:
     """In-flight batched extraction (one (B, BYTES) uint8 fetch)."""
 
-    def __init__(self, extractor: "PPGExtractor", dev_buf, n: int):
+    def __init__(self, extractor: "PPGExtractor", dev_buf, n: int,
+                 desc_dev=None):
         self._ex = extractor
         self._buf = dev_buf
         self._n = n
+        self._desc_dev = desc_dev
         try:
             dev_buf.copy_to_host_async()
         except Exception:
@@ -110,7 +128,10 @@ class _BatchHandle:
     def result(self) -> List[FrameFeatures]:
         host = np.asarray(self._buf)
         return [
-            self._ex._finish(self._ex._unpack(host[b]))
+            self._ex._finish(
+                self._ex._unpack(host[b]),
+                desc_dev=(None if self._desc_dev is None
+                          else (self._desc_dev, b)))
             for b in range(self._n)
         ]
 
@@ -125,9 +146,11 @@ class PPGExtractor:
         device->host payload; ~5e-4 descriptor error, far below the 0.7/0.8
         matching thresholds), "i8" (quarter payload; per-descriptor scale
         quantization, ~2e-3 component error — see tests/test_extractor.py
-        desc-quantization test), or "none" (descriptors stay device-resident
-        — for device-side matching / front-end-only serving)."""
-        assert desc_transfer in ("f32", "f16", "i8", "none")
+        desc-quantization test), "device" (descriptors stay device-resident
+        for device-side gated matching — matching/device_match.py — with an
+        on-demand i8 host fetch for keyframes/fallbacks), or "none" (drop
+        them; front-end-only serving)."""
+        assert desc_transfer in ("f32", "f16", "i8", "none", "device")
         assert compute_dtype in ("f32", "bf16")
         self.camera = camera
         self.max_kp = max_kp
@@ -199,7 +222,15 @@ class PPGExtractor:
             )
             if is_fisheye:  # pinhole: mPos is overwritten by mPosUn anyway
                 out["kp_pos"] = kp_pos
-            if desc_mode != "none":
+            desc_dev = None
+            if desc_mode == "device":
+                descs = sample_descriptors(desc_map, kp_pos, kp_valid, w, h)
+                # reference <10-keypoint zeroing quirk applied on device so
+                # device-side matching sees the same descriptors the host
+                # fetch returns (genPointDescriptor, PPGExtractor.cpp:515)
+                desc_dev = jnp.where(jnp.sum(kp_valid) >= MIN_KP_FOR_DESC,
+                                     descs, jnp.zeros_like(descs))
+            elif desc_mode != "none":
                 descs = sample_descriptors(desc_map, kp_pos, kp_valid, w, h)
                 if desc_mode == "f32":
                     out["descs"] = descs
@@ -212,12 +243,12 @@ class PPGExtractor:
                                  -127, 127).astype(jnp.int8)
                     out["descs"] = q
                     out["desc_scale"] = scale.astype(jnp.float16)
-            return out
+            return out, desc_dev
 
         def stage(params, image_u8, mapx, mapy, band_lo, col_lo):
             junc, heat, dm = nets(params, image_u8[None])
             return decode(junc[0], heat[0], dm[0], mapx, mapy, band_lo,
-                          col_lo)
+                          col_lo)[0]
 
         # ---- single-buffer output packing -----------------------------
         # Layout derived once via eval_shape so device pack and host unpack
@@ -257,8 +288,13 @@ class PPGExtractor:
                 parts.append(x.reshape(-1))
             return jnp.concatenate(parts)
 
+        dev_desc = desc_transfer == "device"
+
         def stage_packed(params, image_u8, mapx, mapy, band_lo, col_lo):
-            return pack(stage(params, image_u8, mapx, mapy, band_lo, col_lo))
+            junc, heat, dm = nets(params, image_u8[None])
+            out, dd = decode(junc[0], heat[0], dm[0], mapx, mapy, band_lo,
+                             col_lo)
+            return (pack(out), dd) if dev_desc else pack(out)
 
         self._stage = jax.jit(stage_packed)
 
@@ -271,12 +307,25 @@ class PPGExtractor:
         # scan chunks/compactions pathologically (~10x).
         def stage_batch(params, images, mapx, mapy, band_lo, col_lo):
             junc, heat, dm = nets(params, images)
-            return jax.lax.map(
-                lambda x: pack(decode(x[0], x[1], x[2], mapx, mapy,
-                                      band_lo, col_lo)),
-                (junc, heat, dm))
+
+            def per_frame(x):
+                out, dd = decode(x[0], x[1], x[2], mapx, mapy, band_lo,
+                                 col_lo)
+                return (pack(out), dd) if dev_desc else pack(out)
+
+            return jax.lax.map(per_frame, (junc, heat, dm))
 
         self._stage_batch = jax.jit(stage_batch)
+
+        # keyframe-rate host descriptor fetch (device desc mode): ONE i8
+        # packed buffer per requested frame
+        if dev_desc:
+            from ..ops.device_match import quantize_desc_i8
+
+            self._fetch_desc_prog = jax.jit(quantize_desc_i8)
+            self._fetch_desc_batch_prog = jax.jit(
+                lambda d, b: quantize_desc_i8(
+                    jax.lax.dynamic_index_in_dim(d, b, 0, keepdims=False)))
 
     def _unpack(self, buf: np.ndarray) -> dict:
         """Zero-copy views into one fetched per-frame byte buffer."""
@@ -302,6 +351,8 @@ class PPGExtractor:
         else:
             out = self._stage(self.params, jnp.asarray(image_u8),
                               None, None, None, None)
+        if self.desc_transfer == "device":
+            return _Handle(self, out[0], desc_dev=out[1])
         return _Handle(self, out)
 
     def extract(self, image_u8: np.ndarray) -> FrameFeatures:
@@ -326,10 +377,25 @@ class PPGExtractor:
         else:
             out = self._stage_batch(self.params, stack, None, None, None,
                                     None)
+        if self.desc_transfer == "device":
+            return _BatchHandle(self, out[0], len(images), desc_dev=out[1])
         return _BatchHandle(self, out, len(images))
 
     # -- host finish ------------------------------------------------------
-    def _finish(self, a) -> FrameFeatures:
+    def fetch_descriptors(self, desc_dev, n_kp: int) -> np.ndarray:
+        """Pull one frame's device-resident descriptors to host (i8 packed
+        transfer, dequantized; the <10-kp quirk is already applied on
+        device). desc_dev: a (MAX_KP, 256) array or (batch_array, index)."""
+        from ..ops.device_match import dequantize_desc_i8
+
+        if isinstance(desc_dev, tuple):
+            arr, b = desc_dev
+            buf = np.asarray(self._fetch_desc_batch_prog(arr, b))
+        else:
+            buf = np.asarray(self._fetch_desc_prog(desc_dev))
+        return dequantize_desc_i8(buf, self.max_kp)[:n_kp]
+
+    def _finish(self, a, desc_dev=None) -> FrameFeatures:
         n_kp = int(a["n_kp"])
         n_cand = int(a["n_cand"])
         kp_un = a["kp_un"][:n_kp]
@@ -349,6 +415,7 @@ class PPGExtractor:
             a["good"][:n_cand],
             a["lscore"][:n_cand], n_kp)
 
+        desc_fetch = None
         if "descs" in a:
             desc_out = a["descs"][:n_kp].astype(np.float32)
             if "desc_scale" in a:  # i8 transfer: dequantize
@@ -356,6 +423,10 @@ class PPGExtractor:
                              / 127.0)[:, None]
             if n_kp < MIN_KP_FOR_DESC:  # reference genPointDescriptor quirk
                 desc_out[:] = 0.0
+        elif desc_dev is not None:
+            desc_out = None  # device-resident; host fetch on demand
+            desc_fetch = (lambda dd=desc_dev, n=n_kp:
+                          self.fetch_descriptors(dd, n))
         else:
             desc_out = np.zeros((n_kp, 256), np.float32)
 
@@ -366,6 +437,7 @@ class PPGExtractor:
             kp_pos=pos, kp_pos_un=pos_un, kp_score=a["kp_score"][:n_kp].copy(),
             kp_out=~kp_ok, edges=edges, edge_score=lscore,
             colines=colines, connected=connected, desc=desc_out,
+            desc_dev=desc_dev, desc_fetch=desc_fetch,
         )
 
     # -- test/debug helpers ------------------------------------------------

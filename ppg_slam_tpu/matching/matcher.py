@@ -80,7 +80,7 @@ class Matcher:
     # frame <- last frame projection (Matcher.cpp:31-87)
     # ------------------------------------------------------------------
     def search_by_projection_last_frame(self, frame: Frame, last: Frame,
-                                        th: float) -> int:
+                                        th: float, dists=None) -> int:
         n = 0
         min_x, max_x, min_y, max_y = image_bounds(self.cam)
         mps = [mp for i, mp in enumerate(last.map_points)
@@ -88,10 +88,12 @@ class Matcher:
         if not mps or frame.N == 0:
             return 0
         # batch-project all last-frame points + one distance-matrix block
+        # (or a device-side gated block: matching/device_match.py)
         X = np.stack([mp.pos for mp in mps])
         Xc = X @ frame.Rcw.T + frame.tcw
         uvs = self.cam.project_np(Xc)
-        dists = _RowCache(frame.descriptors)
+        if dists is None:
+            dists = _RowCache(frame.descriptors)
         dists.ensure(mps)
         for k, mp in enumerate(mps):
             if Xc[k, 2] <= 0:
@@ -125,13 +127,14 @@ class Matcher:
     # PPG image-map association: seed growing (Matcher.cpp:203-381)
     # ------------------------------------------------------------------
     def extend_map_matches(self, frame: Frame, points: List[MapPoint],
-                           th: float) -> int:
+                           th: float, dists=None) -> int:
         n_matches = 0
         cands = [mp for mp in points if not mp.is_bad() and mp.track_in_view]
         cands.sort(key=lambda mp: -len(mp.get_edges()))
         if not cands or frame.N == 0:
             return 0
-        dists = _RowCache(frame.descriptors)
+        if dists is None:
+            dists = _RowCache(frame.descriptors)
         dists.ensure(cands)
 
         for mp in cands:

@@ -1,11 +1,13 @@
 from .sharded_ba import (
     dryrun_sharded_ba_step,
-    sharded_ba_step,
-    sharded_reproj_normal_eq,
+    make_vi_problem,
+    pad_problem_for_mesh,
+    solve_ba_sharded,
 )
 
 __all__ = [
-    "sharded_reproj_normal_eq",
-    "sharded_ba_step",
+    "solve_ba_sharded",
+    "pad_problem_for_mesh",
+    "make_vi_problem",
     "dryrun_sharded_ba_step",
 ]

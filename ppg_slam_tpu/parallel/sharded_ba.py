@@ -1,174 +1,239 @@
-"""Multi-chip scaling: residual-sharded bundle adjustment over a device mesh.
+"""Multi-chip scaling: the FULL bundle-adjustment solver over a device mesh.
 
 The reference is single-process (SURVEY.md §2.8); the TPU-native scale-out
-path shards the dominant BA work — per-observation residual linearization and
-Hessian/gradient assembly — across devices with `shard_map`, reducing the
-normal equations with `psum` over the mesh (ICI collectives), then performing
-the landmark Schur elimination and the small dense pose solve replicated.
-This is data parallelism over residual blocks: observation count grows with
-map size while the pose-state dimension stays small, so communication is
-O((pose dim)^2 + pose×landmark cross blocks), independent of observation
-count.
+path shards the dominant BA work — residual linearization and normal-equation
+assembly — across devices with `shard_map` and psum-reduces over ICI, while
+the small dense pose solve stays replicated. Unlike a visual-only demo, this
+runs `estimator.ba_core.solve_ba` itself with a mesh axis: EVERY residual
+family (reprojection, colines incl. their PCG cross-term matvecs, inertial
+links, bias random walks, 15-D priors, bias priors), the robust IRLS weights,
+and the damped accept/reject LM loop — so 8-device results equal 1-device
+results bit-for-bit-modulo-reduction-order (tests/test_parallel.py).
 
-The step solved here is the REAL damped-GN/Schur step (same structure as
-estimator.ba_core.solve_ba): the pose-landmark cross term W is assembled and
-eliminated exactly — `tests/test_parallel.py` proves the sharded step equals
-a dense full-system solve, and that 8-device == 1-device.
+Sharding layout: KF states / landmarks / masks replicate (the pose-state
+dimension is small); each BAProblem residual family shards on its leading
+(observation) dimension, the axis that grows with map size. Communication per
+iteration is O(N15^2 + M landmark blocks + W cross blocks), independent of
+observation count — the psum rides ICI.
 
-Also hosts the front-end batch parallelism used for multi-camera / multi-
-sequence serving: frames shard over the mesh, weights replicate.
+Entry: `estimator.ba.global_bundle_adjustment(..., mesh=)` /
+`full_inertial_ba(..., mesh=)` route here; `solve_ba_sharded` is the direct
+solver-level API.
 """
 
 from __future__ import annotations
+
+import functools
+from typing import Optional
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..estimator.ba_core import DOF, make_reproj_residual
+from ..estimator.ba_core import (BAOptions, BAProblem, KFStates, DOF,
+                                 empty_problem, solve_ba)
 from ..geometry.cameras import CAM_PINHOLE, CameraModel
 
+AXIS = "dp"
 
-def sharded_reproj_normal_eq(mesh: Mesh, cam: CameraModel):
-    """Build a jitted, mesh-sharded (H, g, Hll, b_l, W) assembler.
+# BAProblem residual families and their leading-dim group:
+#   O: reprojection, C: colines, L: inertial + bias walks, P: priors, B: bias
+_FAMILY_OF = dict(
+    r_kf="O", r_mp="O", r_uv="O", r_valid="O",
+    c_idx="C", c_w="C", c_valid="C",
+    i_kf1="L", i_kf2="L", i_dR="L", i_dV="L", i_dP="L", i_JRg="L",
+    i_JVg="L", i_JVa="L", i_JPg="L", i_JPa="L", i_b0="L", i_sqi="L",
+    i_dt="L", i_valid="L", i_huber="L", rw_sqig="L", rw_sqia="L",
+    rw_valid="L",
+    p_kf="P", p_R="P", p_t="P", p_v="P", p_bg="P", p_ba="P", p_sqi="P",
+    p_valid="P",
+    bp_kf="B", bp_wg="B", bp_wa="B", bp_valid="B",
+)
 
-    Inputs (sharded over axis 'dp' on the observation dimension):
-      r_kf (O,), r_mp (O,), r_uv (O, 2), r_valid (O,)
-    Replicated: states R (N,3,3), t (N,3), points (M,3).
-    Returns replicated:
-      H   (N*DOF, N*DOF)  pose-pose block (block-diagonal for reprojection),
-      g   (N*DOF,)        pose gradient,
-      Hll (M, 3, 3)       landmark-landmark diagonal blocks,
-      b_l (M, 3)          landmark gradient,
-      W   (N*DOF, M, 3)   pose-landmark cross blocks (the Schur coupling).
-    """
-    res_fn = make_reproj_residual(cam, jnp.eye(3), jnp.zeros(3))
 
-    def local_assemble(R, t, X, r_kf, r_mp, r_uv, r_valid):
-        n = R.shape[0]
-        m = X.shape[0]
+def pad_problem_for_mesh(prob: BAProblem, n_dev: int) -> BAProblem:
+    """Pad every residual family's leading dim to a multiple of n_dev with
+    invalid (masked) slots so shards are equal-sized."""
+    sizes = {}
+    for name in BAProblem._fields:
+        fam = _FAMILY_OF[name]
+        n = getattr(prob, name).shape[0]
+        sizes.setdefault(fam, n)
+    pads = {f: (-(-n // n_dev)) * n_dev - n for f, n in sizes.items()}
+    if not any(pads.values()):
+        return prob
+    ext = empty_problem(n_obs=pads["O"], n_col=pads["C"], n_links=pads["L"],
+                        n_priors=pads["P"], n_bp=pads["B"])
+    out = {}
+    for name in BAProblem._fields:
+        a = getattr(prob, name)
+        e = getattr(ext, name)
+        out[name] = jnp.concatenate([a, e.astype(a.dtype)]) \
+            if e.shape[0] else a
+    return BAProblem(**out)
 
-        def one(kf, mp, uv):
-            z15 = jnp.zeros(DOF, jnp.float32)
-            z3 = jnp.zeros(3, jnp.float32)
-            r = res_fn(z15, z3, R[kf], t[kf], X[mp], uv)
-            Jk, Jx = jax.jacfwd(res_fn, argnums=(0, 1))(
-                z15, z3, R[kf], t[kf], X[mp], uv)
-            return r, Jk, Jx
 
-        r, Jk, Jx = jax.vmap(one)(r_kf, r_mp, r_uv)
-        w = r_valid.astype(jnp.float32)
-        r = r * w[:, None]
-        Jk = Jk * w[:, None, None]
-        Jx = Jx * w[:, None, None]
-        H = jnp.zeros((n, DOF, n, DOF), jnp.float32)
-        g = jnp.zeros((n, DOF), jnp.float32)
-        H = H.at[r_kf, :, r_kf, :].add(jnp.einsum("odi,odj->oij", Jk, Jk))
-        g = g.at[r_kf].add(jnp.einsum("odi,od->oi", Jk, r))
-        Hll = jnp.zeros((m, 3, 3), jnp.float32)
-        b_l = jnp.zeros((m, 3), jnp.float32)
-        Hll = Hll.at[r_mp].add(jnp.einsum("odi,odj->oij", Jx, Jx))
-        b_l = b_l.at[r_mp].add(jnp.einsum("odi,od->oi", Jx, r))
-        # pose-landmark cross blocks (Schur coupling term)
-        Wc = jnp.zeros((n, DOF, m, 3), jnp.float32)
-        Wc = Wc.at[r_kf, :, r_mp, :].add(jnp.einsum("odi,odj->oij", Jk, Jx))
-        # all-reduce the partial normal equations over the mesh (ICI psum)
-        H = jax.lax.psum(H, "dp")
-        g = jax.lax.psum(g, "dp")
-        Hll = jax.lax.psum(Hll, "dp")
-        b_l = jax.lax.psum(b_l, "dp")
-        Wc = jax.lax.psum(Wc, "dp")
-        return (H.reshape(n * DOF, n * DOF), g.reshape(n * DOF), Hll, b_l,
-                Wc.reshape(n * DOF, m, 3))
+@functools.lru_cache(maxsize=8)
+def _sharded_solver(mesh: Mesh, cam: CameraModel, opts: BAOptions,
+                    has_lam0: bool):
+    rep = P()
+    shd = P(AXIS)
+    prob_spec = BAProblem(**{k: shd for k in BAProblem._fields})
+    st_spec = KFStates(rep, rep, rep, rep, rep)
+    info_spec = dict(chi2_hist=rep, final_chi2=rep, lam=rep, iters_run=rep,
+                     obs_chi2=shd, obs_depth=shd)
+    in_specs = (st_spec, rep, prob_spec, rep, rep, rep, rep)
+    if has_lam0:
+        in_specs = in_specs + (rep,)
 
-    from jax.experimental.shard_map import shard_map
+        def body(states, points, prob, kf_dof, mp_free, Rcb, tcb, lam0):
+            return solve_ba(states, points, prob, kf_dof, mp_free, Rcb, tcb,
+                            cam, opts, lam0=lam0, axis=AXIS)
+    else:
+        def body(states, points, prob, kf_dof, mp_free, Rcb, tcb):
+            return solve_ba(states, points, prob, kf_dof, mp_free, Rcb, tcb,
+                            cam, opts, axis=AXIS)
 
-    sharded = shard_map(
-        local_assemble, mesh=mesh,
-        in_specs=(P(), P(), P(), P("dp"), P("dp"), P("dp"), P("dp")),
-        out_specs=(P(), P(), P(), P(), P()),
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                   out_specs=(st_spec, rep, info_spec))
+    return jax.jit(fn)
+
+
+def solve_ba_sharded(states: KFStates, points, prob: BAProblem, kf_dof,
+                     mp_free, Rcb, tcb, cam: CameraModel, opts: BAOptions,
+                     mesh: Mesh, lam0=None):
+    """solve_ba over a device mesh: identical signature/semantics, residual
+    families sharded on the mesh's first axis, states replicated."""
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    prob = pad_problem_for_mesh(prob, n_dev)
+    shard = NamedSharding(mesh, P(AXIS))
+    rep = NamedSharding(mesh, P())
+    prob = BAProblem(**{k: jax.device_put(getattr(prob, k), shard)
+                        for k in BAProblem._fields})
+    states = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), rep),
+                          states)
+    put = lambda a: jax.device_put(jnp.asarray(a), rep)
+    solver = _sharded_solver(mesh, cam, opts, lam0 is not None)
+    args = (states, put(points), prob, put(kf_dof), put(mp_free), put(Rcb),
+            put(tcb))
+    if lam0 is not None:
+        args = args + (put(jnp.asarray(lam0, jnp.float32)),)
+    return solver(*args)
+
+
+# ---------------------------------------------------------------------------
+# driver dry run (also used by tests): a tiny visual-inertial problem with
+# colines through the full sharded solver
+# ---------------------------------------------------------------------------
+
+def make_vi_problem(n_kf=6, n_mp=64, n_obs=256, n_col=32, seed=0,
+                    noise=0.02):
+    """Synthetic visual-inertial BA problem (numpy host data): a KF chain
+    with reprojection observations, valid collinear triplets, inertial links
+    with plausible preintegration deltas, and a prior on the first KF."""
+    from ..imu import GRAVITY_VALUE
+
+    rng = np.random.RandomState(seed)
+    cam = CameraModel(kind=CAM_PINHOLE, fx=200.0, fy=200.0, cx=64.0, cy=48.0,
+                      dist=(0.0, 0.0, 0.0, 0.0), width=128, height=96)
+    # straight-line colinear triplets: base + k * direction
+    base = np.stack([rng.uniform(-2, 2, n_col), rng.uniform(-2, 2, n_col),
+                     rng.uniform(5, 9, n_col)], 1)
+    d = rng.randn(n_col, 3)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tri = np.stack([base, base + 0.3 * d, base + 0.7 * d], 1)  # (C, 3, 3)
+    pts_tri = tri.reshape(-1, 3)
+    n_rand = n_mp - len(pts_tri)
+    assert n_rand >= 0, "n_mp must hold 3*n_col triplet points"
+    pts_rand = np.stack([rng.uniform(-3, 3, n_rand), rng.uniform(-2, 2, n_rand),
+                         rng.uniform(4, 10, n_rand)], 1)
+    points = np.concatenate([pts_tri, pts_rand]).astype(np.float32)
+    c_idx = np.arange(3 * n_col, dtype=np.int32).reshape(n_col, 3)
+
+    dt = 0.5
+    Rwb = np.broadcast_to(np.eye(3, dtype=np.float32), (n_kf, 3, 3)).copy()
+    v_true = np.float32([0.4, 0.0, 0.0])
+    twb = np.stack([v_true * dt * k for k in range(n_kf)]).astype(np.float32)
+
+    r_kf = rng.randint(0, n_kf, n_obs).astype(np.int32)
+    r_mp = rng.randint(0, n_mp, n_obs).astype(np.int32)
+    Xc = np.einsum("oij,oj->oi", Rwb[r_kf].transpose(0, 2, 1),
+                   points[r_mp] - twb[r_kf])
+    uv = np.stack([200.0 * Xc[:, 0] / Xc[:, 2] + 64.0,
+                   200.0 * Xc[:, 1] / Xc[:, 2] + 48.0], 1)
+    uv += rng.randn(n_obs, 2) * 0.3
+    r_valid = Xc[:, 2] > 0.1
+
+    n_links = n_kf - 1
+    g = np.float32([0, 0, -GRAVITY_VALUE])
+    prob = empty_problem(n_obs=n_obs, n_col=n_col, n_links=n_links,
+                         n_priors=1, n_bp=1)
+    # constant-velocity ground truth: dV = -g*dt, dP = v*dt - 0.5*g*dt^2
+    dV = np.broadcast_to(-g * dt, (n_links, 3)).astype(np.float32)
+    dP = np.broadcast_to(v_true * dt - 0.5 * g * dt * dt,
+                         (n_links, 3)).astype(np.float32)
+    prob = prob._replace(
+        r_kf=jnp.asarray(r_kf), r_mp=jnp.asarray(r_mp),
+        r_uv=jnp.asarray(uv.astype(np.float32)),
+        r_valid=jnp.asarray(r_valid),
+        c_idx=jnp.asarray(c_idx),
+        c_w=jnp.full((n_col,), 30.0, jnp.float32),
+        c_valid=jnp.ones(n_col, bool),
+        i_kf1=jnp.arange(n_links, dtype=jnp.int32),
+        i_kf2=jnp.arange(1, n_links + 1, dtype=jnp.int32),
+        i_dV=jnp.asarray(dV), i_dP=jnp.asarray(dP),
+        i_sqi=jnp.broadcast_to(jnp.eye(9) * 10.0, (n_links, 9, 9)
+                               ).astype(jnp.float32),
+        i_dt=jnp.full((n_links,), dt, jnp.float32),
+        i_valid=jnp.ones(n_links, bool),
+        i_huber=jnp.zeros(n_links, bool),
+        rw_sqig=jnp.broadcast_to(jnp.eye(3) * 100.0, (n_links, 3, 3)
+                                 ).astype(jnp.float32),
+        rw_sqia=jnp.broadcast_to(jnp.eye(3) * 100.0, (n_links, 3, 3)
+                                 ).astype(jnp.float32),
+        rw_valid=jnp.ones(n_links, bool),
+        p_kf=jnp.zeros(1, jnp.int32),
+        p_R=jnp.asarray(Rwb[:1]), p_t=jnp.asarray(twb[:1]),
+        p_v=jnp.broadcast_to(jnp.asarray(v_true), (1, 3)),
+        p_bg=jnp.zeros((1, 3), jnp.float32),
+        p_ba=jnp.zeros((1, 3), jnp.float32),
+        p_sqi=jnp.broadcast_to(jnp.eye(15) * 30.0, (1, 15, 15)
+                               ).astype(jnp.float32),
+        p_valid=jnp.ones(1, bool),
+        bp_kf=jnp.zeros(1, jnp.int32),
+        bp_wg=jnp.full(1, 100.0, jnp.float32),
+        bp_wa=jnp.full(1, 100.0, jnp.float32),
+        bp_valid=jnp.ones(1, bool),
     )
-    return jax.jit(sharded)
 
-
-def schur_solve(H, g, Hll, b_l, W, lam, fix_first: bool = True):
-    """Exact landmark Schur elimination + damped pose solve.
-
-    S  = Hpp + lam I - W Hll_d^{-1} W^T
-    dx = -S^{-1} (g - W Hll_d^{-1} b_l)
-    dX = -Hll_d^{-1} (b_l + W^T dx)
-    with Hll_d = Hll + lam I (LM damping on both blocks). Mirrors
-    estimator.ba_core's Schur structure; gauge fixed by a large prior on the
-    first pose block (the reference fixes the origin KF,
-    /root/reference/optimizing/src/OptimizerGBA.cpp:24-289).
-    """
-    nd = H.shape[0]
-    Hll_d = Hll + lam * jnp.eye(3, dtype=H.dtype)[None]
-    Hll_inv = jnp.linalg.inv(Hll_d)
-    WHinv = jnp.einsum("amj,mjk->amk", W, Hll_inv)       # (nD, M, 3)
-    S = H + lam * jnp.eye(nd, dtype=H.dtype)
-    S = S - jnp.einsum("amk,bmk->ab", WHinv, W)
-    rhs = g - jnp.einsum("amk,mk->a", WHinv, b_l)
-    if fix_first:
-        S = S.at[jnp.arange(DOF), jnp.arange(DOF)].add(1e8)
-    dx = -jnp.linalg.solve(S, rhs)
-    dX = -jnp.einsum("mij,mj->mi", Hll_inv,
-                     b_l + jnp.einsum("amj,a->mj", W, dx))
-    return dx, dX
-
-
-def sharded_ba_step(mesh: Mesh, cam: CameraModel):
-    """One full damped-GN BA step: sharded assembly -> replicated exact
-    Schur + Cholesky solve -> state update. Returns the jitted step fn."""
-    assemble = sharded_reproj_normal_eq(mesh, cam)
-
-    def step(R, t, X, r_kf, r_mp, r_uv, r_valid, lam):
-        from ..geometry import so3
-
-        H, g, Hll, b_l, W = assemble(R, t, X, r_kf, r_mp, r_uv, r_valid)
-        n = R.shape[0]
-        dx, dX = schur_solve(H, g, Hll, b_l, W, lam)
-        dx = dx.reshape(n, DOF)
-        R_new = so3.normalize(R @ so3.exp(dx[:, :3]))
-        t_new = t + jnp.einsum("nij,nj->ni", R, dx[:, 3:6])
-        return R_new, t_new, X + dX
-
-    return jax.jit(step)
+    # perturbed initial state
+    tn = twb + rng.randn(n_kf, 3).astype(np.float32) * noise
+    tn[0] = twb[0]
+    pn = points + rng.randn(n_mp, 3).astype(np.float32) * noise
+    states = KFStates(
+        R=jnp.asarray(Rwb), t=jnp.asarray(tn),
+        v=jnp.broadcast_to(jnp.asarray(v_true), (n_kf, 3)) + 0.0,
+        bg=jnp.zeros((n_kf, 3), jnp.float32),
+        ba=jnp.zeros((n_kf, 3), jnp.float32))
+    kf_dof = np.ones((n_kf, 15), bool)
+    kf_dof[0, :6] = False  # gauge: first pose fixed
+    return cam, states, jnp.asarray(pn), prob, jnp.asarray(kf_dof), \
+        jnp.ones(n_mp, bool)
 
 
 def dryrun_sharded_ba_step(mesh: Mesh) -> None:
-    """Compile + run one sharded BA step on tiny shapes (driver dry run)."""
-    cam = CameraModel(kind=CAM_PINHOLE, fx=100.0, fy=100.0, cx=32.0, cy=32.0,
-                      dist=(0.0, 0.0, 0.0, 0.0), width=64, height=64)
-    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    n_kf, n_mp = 4, 16
-    n_obs = 8 * n_dev
-    rng = np.random.RandomState(0)
-    dev0 = mesh.devices.ravel()[0]
-    with jax.default_device(dev0):
-        R = jnp.broadcast_to(jnp.eye(3), (n_kf, 3, 3)).astype(jnp.float32)
-        t = jnp.asarray(rng.randn(n_kf, 3).astype(np.float32) * 0.1)
-        X = jnp.asarray(
-            np.stack([rng.uniform(-1, 1, n_mp), rng.uniform(-1, 1, n_mp),
-                      rng.uniform(3, 5, n_mp)], 1).astype(np.float32))
-        r_kf = jnp.asarray(rng.randint(0, n_kf, n_obs).astype(np.int32))
-        r_mp = jnp.asarray(rng.randint(0, n_mp, n_obs).astype(np.int32))
-        r_uv = jnp.asarray(rng.uniform(0, 64, (n_obs, 2)).astype(np.float32))
-        r_valid = jnp.ones(n_obs, bool)
-
-    shard = NamedSharding(mesh, P("dp"))
-    rep = NamedSharding(mesh, P())
-    r_kf = jax.device_put(r_kf, shard)
-    r_mp = jax.device_put(r_mp, shard)
-    r_uv = jax.device_put(r_uv, shard)
-    r_valid = jax.device_put(r_valid, shard)
-    R = jax.device_put(R, rep)
-    t = jax.device_put(t, rep)
-    X = jax.device_put(X, rep)
-
-    step = sharded_ba_step(mesh, cam)
-    R2, t2, X2 = step(R, t, X, r_kf, r_mp, r_uv, r_valid,
-                      jnp.float32(1e-3))
-    jax.block_until_ready((R2, t2, X2))
+    """Compile + run the FULL sharded VI solver (reprojection + colines +
+    inertial + walks + priors, damped LM loop) on tiny shapes (driver dry
+    run)."""
+    cam, states, points, prob, kf_dof, mp_free = make_vi_problem()
+    opts = BAOptions(iters=2, lambda0=1e-2)
+    st, pts, info = solve_ba_sharded(
+        states, points, prob, kf_dof, mp_free,
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        cam, opts, mesh)
+    jax.block_until_ready((st, pts))
+    chi2 = np.asarray(info["chi2_hist"])
+    assert np.isfinite(chi2).all()

@@ -76,7 +76,18 @@ class System:
                  weights_path: Optional[str] = None, use_viewer: bool = False,
                  active_loop_closing: bool = True,
                  viewer_out_dir: Optional[str] = None,
-                 viewer_every: int = 10):
+                 viewer_every: int = 10,
+                 async_frontend: bool = False, prefetch_batch: int = 4,
+                 prefetch_depth: int = 2,
+                 threaded_gba: bool = False,
+                 desc_transfer: str = "f32", compute_dtype: str = "f32"):
+        """async_frontend: overlap device extraction of future frames with
+        host tracking of the current one (frontend/prefetch.py — the
+        reference's thread overlap, System.cpp:106-116). threaded_gba: run
+        loop-closure global BA on a background thread with kill/propagate
+        (LoopClosing.cpp:1050). desc_transfer="device" + compute_dtype=
+        "bf16" is the TPU serving configuration (device-side gated
+        matching)."""
         s = load_settings(settings_path)
         cam = camera_from_settings(s)
         MapEdge.view_cos_th = float(s["view_cos_th"])
@@ -88,9 +99,19 @@ class System:
                if vocabulary_path and os.path.exists(vocabulary_path)
                else None)
         self.map = Map(rig, vocabulary=voc)
-        self.extractor = PPGExtractor(cam, weights_path)
+        self.extractor = PPGExtractor(cam, weights_path,
+                                      desc_transfer=desc_transfer,
+                                      compute_dtype=compute_dtype)
+        self.prefetcher = None
+        if async_frontend:
+            from ..frontend.prefetch import FramePrefetcher
+
+            self.prefetcher = FramePrefetcher(self.extractor,
+                                              batch=prefetch_batch,
+                                              depth=prefetch_depth)
         self.loop_closing = LoopClosing(self.map,
                                         active=active_loop_closing)
+        self.loop_closing.threaded_gba = threaded_gba
         self.local_mapping = LocalMapping(self.map,
                                           loop_closer=self.loop_closing)
         self.tracking = Tracking(self.map, self.extractor,
@@ -107,13 +128,30 @@ class System:
             self.tracking.viewer = self.viewer
 
     # ------------------------------------------------------------------
+    def feed_frame(self, image: np.ndarray) -> None:
+        """Async front-end: stage a FUTURE frame's extraction (device work
+        overlaps host tracking). Call ahead of track_monocular in feed
+        order; harmless no-op when async_frontend is off."""
+        if self.prefetcher is not None:
+            self.prefetcher.feed(image)
+
     def track_monocular(self, image: np.ndarray, timestamp: float,
                         imu: Optional[np.ndarray] = None):
         """System::TrackMonocular (System.cpp:122-143). imu rows:
-        (ax, ay, az, wx, wy, wz, t)."""
+        (ax, ay, az, wx, wy, wz, t). With async_frontend, `image` must have
+        been feed_frame()'d (in order); its features are consumed from the
+        prefetch pipeline."""
         if imu is not None and len(imu):
             self.tracking.grab_imu(imu)
-        return self.tracking.grab_image(image, timestamp)
+        feats = self.prefetcher.get() if self.prefetcher is not None else None
+        return self.tracking.grab_image(image, timestamp, feats=feats)
+
+    def poll_background(self) -> None:
+        """Apply finished background-GBA results at a safe point (the
+        per-frame analog of the reference's propagation after the GBA
+        thread finishes, LoopClosing.cpp:1139-1289)."""
+        if self.loop_closing is not None and self.loop_closing.threaded_gba:
+            self.loop_closing.poll_gba()
 
     @property
     def state(self) -> int:

@@ -92,6 +92,9 @@ class Tracking:
         self.n_resets = 0
         # optional offline viewer (reference MSViewing; viz/viewer.py)
         self.viewer = None
+        # device-side gated matching (created lazily on the first frame
+        # extracted with desc_transfer="device"; matching/device_match.py)
+        self._dev_matcher = None
 
     # ------------------------------------------------------------------
     def grab_imu(self, measurements: np.ndarray) -> None:
@@ -99,11 +102,18 @@ class Tracking:
         for m in np.atleast_2d(measurements):
             self.imu_queue.append(np.asarray(m, np.float64))
 
-    def grab_image(self, image: np.ndarray, timestamp: float) -> Frame:
+    def grab_image(self, image: np.ndarray, timestamp: float,
+                   feats=None) -> Frame:
+        """Per-frame entry. feats: precomputed FrameFeatures (the async
+        front-end path — frontend/prefetch.py dispatched this frame's
+        extraction while earlier frames were being tracked); None extracts
+        synchronously (the reference's in-ctor extraction, Frame.cpp:50-78).
+        """
         from ..utils import profiler
 
-        with profiler.timer("tracking.extract"):
-            feats = self.extractor.extract(image)
+        if feats is None:
+            with profiler.timer("tracking.extract"):
+                feats = self.extractor.extract(image)
         frame = Frame(feats, timestamp, self.rig)
         frame.prev_frame = self.last_frame
         self.current = frame
@@ -827,11 +837,14 @@ class Tracking:
         frame.has_pose = True
         frame.map_points = [None] * frame.N
         th = 15
-        n = matcher.search_by_projection_last_frame(frame, self.last_frame, th)
+        n = matcher.search_by_projection_last_frame(
+            frame, self.last_frame, th,
+            dists=self._device_rows_for_last_frame(frame, th))
         if n < 20:
             frame.map_points = [None] * frame.N
-            n = matcher.search_by_projection_last_frame(frame, self.last_frame,
-                                                        2 * th)
+            n = matcher.search_by_projection_last_frame(
+                frame, self.last_frame, 2 * th,
+                dists=self._device_rows_for_last_frame(frame, 2 * th))
         if n < 20:
             return False
         self._run_pose_optimization(frame)
@@ -943,7 +956,88 @@ class Tracking:
             th = 5
         if self.state in (LOST, RECENTLY_LOST):
             th = 15
-        matcher.extend_map_matches(frame, self.local_points, th)
+        dists = self._device_rows_for_extend(frame, self.local_points, th)
+        matcher.extend_map_matches(frame, self.local_points, th, dists=dists)
+
+    # -- device-side gated matching (matching/device_match.py) ----------
+    def _get_device_matcher(self):
+        if self._dev_matcher is None:
+            from ..matching.device_match import DeviceMatcher
+
+            self._dev_matcher = DeviceMatcher()
+        return self._dev_matcher
+
+    def _device_rows_for_extend(self, frame, points, th):
+        """Gate queries for extend_map_matches: anchors use the matcher's
+        exact per-point window (radius th * 2.5/4.0 around the frustum
+        projection); PPG seed-growing partners (2 edge hops) get a wide
+        window around their own projection — growth pairs the reference
+        accepts ungated land within it unless they would be pose-opt
+        outliers anyway. Returns None (host dense matching) when the frame
+        descriptors were transferred to host."""
+        if frame.feats.desc_dev is None:
+            return None
+        from ..utils import profiler
+
+        with profiler.timer("tracking.device_match"):
+            dm = self._get_device_matcher()
+            queries = []
+            anchors = []
+            for mp in points:
+                if mp.is_bad() or not mp.track_in_view:
+                    continue
+                r = th * (2.5 if mp.track_view_cos > 0.998 else 4.0)
+                queries.append((mp, mp.track_proj_x, mp.track_proj_y, r))
+                anchors.append(mp)
+            seen = {mp.mnId for mp in anchors}
+            partners = []
+            ring = anchors
+            for _hop in range(2):
+                nxt = []
+                for mp in ring:
+                    for me in mp.get_edges():
+                        if me.is_bad() or not me.valid:
+                            continue
+                        o = me.the_other_pt(mp)
+                        if o is None or o.is_bad() or o.mnId in seen:
+                            continue
+                        seen.add(o.mnId)
+                        nxt.append(o)
+                partners.extend(nxt)
+                ring = nxt
+            r_grow = max(15.0, 8.0 * th)
+            if partners:
+                X = np.stack([o.pos for o in partners])
+                Xc = X @ frame.Rcw.T + frame.tcw
+                uvs = self.rig.cam.project_np(Xc)
+                for o, zc, uv in zip(partners, Xc[:, 2], uvs):
+                    if zc <= 0:
+                        continue
+                    queries.append((o, float(uv[0]), float(uv[1]), r_grow))
+            dm.ensure_bank([q[0] for q in queries])
+            return dm.gated_rows(frame, queries)
+
+    def _device_rows_for_last_frame(self, frame, th):
+        """Gate queries mirroring search_by_projection_last_frame's windows
+        (radius = th around each last-frame point's projection)."""
+        if frame.feats.desc_dev is None:
+            return None
+        from ..utils import profiler
+
+        last = self.last_frame
+        with profiler.timer("tracking.device_match"):
+            dm = self._get_device_matcher()
+            mps = [mp for i, mp in enumerate(last.map_points)
+                   if mp is not None and not last.outlier[i]]
+            if not mps:
+                return None
+            X = np.stack([mp.pos for mp in mps])
+            Xc = X @ frame.Rcw.T + frame.tcw
+            uvs = self.rig.cam.project_np(Xc)
+            queries = [(mp, float(uv[0]), float(uv[1]), float(th))
+                       for mp, zc, uv in zip(mps, Xc[:, 2], uvs) if zc > 0]
+            dm.ensure_bank([q[0] for q in queries])
+            return dm.gated_rows(frame, queries)
 
     # ------------------------------------------------------------------
     # keyframe policy (Tracking.cpp:913-972)

@@ -101,7 +101,7 @@ class Frame(PoseState):
         self.N = feats.n_kp
         self.kp = feats.kp_pos            # mPos (== undistorted for pinhole)
         self.kp_un = feats.kp_pos_un      # mPosUn
-        self.descriptors = feats.desc
+        self._descriptors = feats.desc    # None while device-resident
         self.key_edges = feats.edges
         self.edge_scores = feats.edge_score
         self.colines = feats.colines
@@ -127,6 +127,22 @@ class Frame(PoseState):
         self.prior = None          # marginalization prior (Prior15 host copy)
         self.ref_kf: Optional["KeyFrame"] = None
         self.imu_predicted = False
+
+    @property
+    def descriptors(self) -> np.ndarray:
+        """Host descriptor matrix. In the device-matching configuration
+        (PPGExtractor desc_transfer="device") descriptors live on the TPU
+        and this property pulls them over on first host use — keyframe
+        construction and the init/reloc fallback paths; steady-state
+        tracking matches through the device distance service instead
+        (matching/device_match.py)."""
+        if self._descriptors is None:
+            self._descriptors = self.feats.descriptors
+        return self._descriptors
+
+    @property
+    def has_host_descriptors(self) -> bool:
+        return self._descriptors is not None or self.feats.desc is not None
 
     # -- frustum check (Frame.cpp:223-260) -----------------------------------
     def check_in_frustum(self, mp: MapPoint, view_cos_limit: float) -> bool:

@@ -38,7 +38,8 @@ def image_bounds(cam: CameraModel):
 class FeatureGrid:
     """Per-frame spatial index over keypoint positions (kp 'mPos')."""
 
-    __slots__ = ("min_x", "min_y", "inv_w", "inv_h", "cells", "kp")
+    __slots__ = ("min_x", "min_y", "inv_w", "inv_h", "cells", "kp",
+                 "ok_mask")
 
     def __init__(self, cam: CameraModel, kp_pos: np.ndarray) -> None:
         min_x, max_x, min_y, max_y = image_bounds(cam)
@@ -53,6 +54,7 @@ class FeatureGrid:
         cx = np.floor((kp_pos[:, 0] - min_x) * self.inv_w).astype(int)
         cy = np.floor((kp_pos[:, 1] - min_y) * self.inv_h).astype(int)
         ok = (cx >= 0) & (cx < GRID_COLS) & (cy >= 0) & (cy < GRID_ROWS)
+        self.ok_mask = ok  # grid-assignment eligibility (device matching)
         for i in np.nonzero(ok)[0]:
             self.cells[cx[i]][cy[i]].append(int(i))
 

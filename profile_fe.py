@@ -1,47 +1,200 @@
-"""Front-end profiler on the current backend (run on TPU): sync latency +
-pipelined throughput."""
-import time, numpy as np, jax
-from ppg_slam_tpu.geometry.cameras import CAM_PINHOLE, CameraModel
+"""Front-end profiler on the current backend (run on the real TPU):
+per-sub-op device times at batch-32 (slope-timed fori_loop chains inside one
+jit — `block_until_ready` does not truly block over the tunnel), plus the
+pipelined wall time and device-output statistics that size the transfer
+buckets (n_kp / n_cand / rate-passing counts)."""
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+if jax.default_backend() != "cpu":
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from ppg_slam_tpu.frontend import PPGExtractor
+from ppg_slam_tpu.geometry.cameras import CAM_PINHOLE, CameraModel
+from ppg_slam_tpu.models import load_params, ppg_forward
+from ppg_slam_tpu.ops.heatmap import refine_heatmap
+from ppg_slam_tpu.ops.nms import nms_keypoints
+from ppg_slam_tpu.ops.pairs import probe_and_select, validate_candidates
+from ppg_slam_tpu.ops.sampling import band_params, remap_banded
 
-cam = CameraModel(kind=CAM_PINHOLE, fx=458.654, fy=457.296, cx=367.215, cy=248.375,
-    dist=(-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05), width=752, height=480)
-ex = PPGExtractor(cam)
-rng = np.random.RandomState(0)
-frames=[]
-for k in range(16):
-    img = np.full((480,752),120,np.uint8)
-    for i in range(1,10): img[i*48-1,:]=250
-    for j in range(1,15): img[:,j*50-1]=250
-    img = np.clip(img.astype(np.int32)+rng.randint(-20,20,img.shape),0,255).astype(np.uint8)
-    frames.append(img)
-t0=time.perf_counter()
-f0 = ex.extract(frames[0])
-print(f"first extract (compile): {time.perf_counter()-t0:.1f}s  kp={f0.n_kp} edges={len(f0.edges)} colines={len(f0.colines)}")
+cam = CameraModel(kind=CAM_PINHOLE, fx=458.654, fy=457.296, cx=367.215,
+                  cy=248.375,
+                  dist=(-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05),
+                  width=752, height=480)
+B = 32
 
-# sync latency
-ts=[]
-for i in range(12):
-    t0=time.perf_counter(); ex.extract(frames[i%16]); ts.append(time.perf_counter()-t0)
-print("sync extract ms (med):", round(np.median(ts)*1e3,1))
 
-# pipelined throughput, depth 6
-for depth in (2, 4, 8):
-    n = 32
-    t0=time.perf_counter()
-    pending = []
-    results = 0
-    for i in range(n):
-        pending.append(ex.extract_async(frames[i%16]))
-        if len(pending) >= depth:
-            pending.pop(0).result(); results += 1
-    while pending:
-        pending.pop(0).result(); results += 1
-    dt = (time.perf_counter()-t0)/n*1e3
-    print(f"pipelined depth={depth}: {dt:.1f} ms/frame")
+def make_frames(n=B):
+    rng = np.random.RandomState(0)
+    out = []
+    for _ in range(n):
+        img = np.full((480, 752), 120, np.uint8)
+        for i in range(1, 10):
+            img[i * 48 - 1, :] = 250
+        for j in range(1, 15):
+            img[:, j * 50 - 1] = 250
+        out.append(np.clip(img.astype(np.int32)
+                           + rng.randint(-20, 20, img.shape), 0,
+                           255).astype(np.uint8))
+    return np.stack(out)
 
-# host finish cost alone
-a = jax.device_get(ex.extract_async(frames[0])._out)
-t0=time.perf_counter()
-for _ in range(20): ex._finish(a)
-print("host finish ms:", round((time.perf_counter()-t0)/20*1e3,2))
+
+def slope_time(fn, args, iters=8, label=""):
+    """Wall time per call via an N-iteration chain inside ONE jit (the
+    tunnel serializes fetches; chaining isolates device compute)."""
+
+    def chain(n_static, *a):
+        def body(i, carry):
+            out = fn(*a)
+            # fold a scalar from the output back in to serialize iterations
+            s = jax.tree.reduce(
+                lambda acc, x: acc + jnp.sum(x).astype(jnp.float32)
+                if jnp.issubdtype(x.dtype, jnp.number) else acc,
+                out, jnp.float32(0))
+            return carry + s
+        return jax.lax.fori_loop(0, n_static, body, jnp.float32(0))
+
+    j1 = jax.jit(lambda *a: chain(1, *a))
+    jN = jax.jit(lambda *a: chain(iters, *a))
+    float(j1(*args))
+    float(jN(*args))
+    t1 = time.perf_counter(); float(j1(*args)); t1 = time.perf_counter() - t1
+    tN = time.perf_counter(); float(jN(*args)); tN = time.perf_counter() - tN
+    per = (tN - t1) / (iters - 1)
+    print(f"{label:34s} {per * 1e3 / B:7.3f} ms/frame "
+          f"({per * 1e3:7.1f} ms/batch)", file=sys.stderr, flush=True)
+    return per
+
+
+def main():
+    params = load_params()
+    frames = jnp.asarray(make_frames())
+    ex = PPGExtractor(cam, desc_transfer="device", compute_dtype="bf16")
+    dt = jnp.bfloat16
+
+    imgs = frames.astype(jnp.float32)[..., None] / 255.0
+
+    from ppg_slam_tpu.models.ppg_net import (backbone_apply, descriptor_apply,
+                                             heatmap_apply, junction_apply)
+
+    feat = jax.jit(lambda p, x: backbone_apply(p, x, dtype=dt))(params, imgs)
+    jax.block_until_ready(feat)
+
+    slope_time(lambda p, x: backbone_apply(p, x, dtype=dt), (params, imgs),
+               label="nets: backbone")
+    slope_time(lambda p, f: junction_apply(p, f, dtype=dt), (params, feat),
+               label="nets: junction head")
+    slope_time(lambda p, f: heatmap_apply(p, f, dtype=dt), (params, feat),
+               label="nets: heatmap head")
+    slope_time(lambda p, f: descriptor_apply(p, f, dtype=dt), (params, feat),
+               label="nets: descriptor head")
+    slope_time(lambda p, x: ppg_forward(p, x, dtype=dt)["heat"],
+               (params, imgs), label="nets: full forward")
+
+    fwd = jax.jit(lambda p, x: ppg_forward(p, x, dtype=dt))(params, imgs)
+    junc, heat, desc = (fwd["junc_prob"], fwd["heat"], fwd["desc"])
+    jax.block_until_ready(heat)
+
+    def per_frame(fn):
+        return lambda *a: jax.lax.map(lambda x: fn(*x), a)
+
+    slope_time(per_frame(lambda j: nms_keypoints(j)[1]), (junc,),
+               label="decode: NMS")
+    slope_time(per_frame(lambda h: refine_heatmap(h)), (heat,),
+               label="decode: heat refine")
+
+    rmap = np.asarray(cam.undistort_rectify_map(), np.float32)
+    lo, band, col_lo, src_w = band_params(rmap[..., 0], rmap[..., 1])
+    mapx = jnp.asarray(np.ascontiguousarray(rmap[..., 0]))
+    mapy = jnp.asarray(np.ascontiguousarray(rmap[..., 1]))
+    loj = jnp.asarray(lo)
+    colj = jnp.asarray(col_lo)
+    rh = jax.jit(per_frame(lambda h: refine_heatmap(h)))(heat)
+    jax.block_until_ready(rh)
+    slope_time(per_frame(
+        lambda h: remap_banded(h, mapx, mapy, loj, band, colj, src_w)),
+        (rh,), label="decode: banded remap")
+
+    # keypoints for probe/validate stages
+    def kp_stage(j):
+        kp_xy, kp_score, kp_valid = nms_keypoints(j)
+        kp_un = cam.undistort_points(kp_xy.astype(jnp.float32))
+        ok = kp_valid & (kp_un[:, 0] >= 1) & (kp_un[:, 0] < cam.width - 1) \
+            & (kp_un[:, 1] >= 1) & (kp_un[:, 1] < cam.height - 1)
+        return kp_un, ok
+
+    kps = jax.jit(per_frame(kp_stage))(junc)
+    heat_un = jax.jit(per_frame(
+        lambda h: remap_banded(h, mapx, mapy, loj, band, colj, src_w)))(rh)
+    jax.block_until_ready((kps, heat_un))
+    kp_un_b, ok_b = kps
+
+    slope_time(per_frame(lambda h, k, o: probe_and_select(h, k, o)["n_cand"]),
+               (heat_un, kp_un_b, ok_b), label="decode: pair probe+select")
+
+    sel = jax.jit(per_frame(lambda h, k, o: probe_and_select(h, k, o)))(
+        heat_un, kp_un_b, ok_b)
+    jax.block_until_ready(sel)
+
+    def val_stage(h, k, ci, cj, cv):
+        d = jnp.sqrt(jnp.sum((k[cj] - k[ci]) ** 2, -1))
+        return validate_candidates(h, k, ci, cj, d, cv)[0]
+
+    slope_time(per_frame(val_stage),
+               (heat_un, kp_un_b, sel["ci"].astype(jnp.int32),
+                sel["cj"].astype(jnp.int32), sel["cand_valid"]),
+               label="decode: line validation")
+
+    from ppg_slam_tpu.ops.descriptors import sample_descriptors
+
+    kp_xy_b = jax.jit(per_frame(lambda j: nms_keypoints(j)[0]
+                                .astype(jnp.float32)))(junc)
+    kv_b = jax.jit(per_frame(lambda j: nms_keypoints(j)[2]))(junc)
+    jax.block_until_ready((kp_xy_b, kv_b))
+    slope_time(per_frame(
+        lambda d, k, v: sample_descriptors(d, k, v, cam.width, cam.height)),
+        (desc, kp_xy_b, kv_b), label="decode: descriptor sampling")
+
+    # ---- device-output statistics (transfer-bucket sizing) -------------
+    fr_list = [np.asarray(f) for f in np.asarray(frames)]
+    feats = ex.extract_batch(fr_list)
+    raw = np.asarray(ex.extract_batch_async(fr_list)._buf)
+    stats = [ex._unpack(raw[b]) for b in range(B)]
+    print("per-frame stats over the bench batch:", file=sys.stderr)
+    nk = [f.n_kp for f in feats]
+    ne = [len(f.edges) for f in feats]
+    nc = [int(s["n_cand"]) for s in stats]
+    ng = [int(np.sum(s["good"])) for s in stats]
+    print(f"  n_kp:   min {min(nk)} med {int(np.median(nk))} max {max(nk)}",
+          file=sys.stderr)
+    print(f"  edges:  min {min(ne)} med {int(np.median(ne))} max {max(ne)}",
+          file=sys.stderr)
+    print(f"  n_cand: min {min(nc)} med {int(np.median(nc))} max {max(nc)} "
+          f"(cap 4096)", file=sys.stderr)
+    print(f"  good:   min {min(ng)} med {int(np.median(ng))} max {max(ng)}",
+          file=sys.stderr)
+
+    # pipelined wall per frame (the bench's front-end number)
+    fr = [np.asarray(f) for f in np.asarray(frames)]
+    pend = [ex.extract_batch_async(fr) for _ in range(2)]
+    ts = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        pend.append(ex.extract_batch_async(fr))
+        pend.pop(0).result()
+        ts.append(time.perf_counter() - t0)
+    for h in pend:
+        h.result()
+    print(f"pipelined wall: {np.median(ts) / B * 1e3:.2f} ms/frame",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""Device-side gated matching (ops/device_match.py + matching/device_match.py).
+
+Validates (a) the gated top-K program against a numpy brute force, (b) that
+the full tracking pipeline with device-resident descriptors reproduces the
+dense host-descriptor run (same trajectory within float noise), and (c) that
+keyframes still obtain host descriptors through the lazy fetch path.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from synthetic_sequence import SyntheticExtractor, SyntheticSequence
+from synthetic_world import CAM
+
+from ppg_slam_tpu.matching.matcher import desc_dist_matrix
+from ppg_slam_tpu.ops.device_match import (MATCH_K, gated_match_packed,
+                                           gated_topk, unpack_match)
+
+
+class TestGatedTopK:
+    def _problem(self, seed=0, m=32, n=64, cap=128, k=4):
+        rng = np.random.RandomState(seed)
+        bank = rng.randn(cap, 256).astype(np.float32)
+        bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+        fd = rng.randn(n, 256).astype(np.float32)
+        fd /= np.linalg.norm(fd, axis=1, keepdims=True)
+        kp = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+        valid = rng.rand(n) > 0.1
+        idx = rng.permutation(cap)[:m].astype(np.int32)
+        idx[::7] = -1  # dead rows
+        c = rng.uniform(0, 100, (m, 2)).astype(np.float32)
+        r = rng.uniform(5, 40, m).astype(np.float32)
+        rects = np.stack([c[:, 0] - r, c[:, 0] + r,
+                          c[:, 1] - r, c[:, 1] + r], 1).astype(np.float32)
+        return bank, idx, fd, kp, valid, rects, k
+
+    def test_matches_bruteforce(self):
+        bank, idx, fd, kp, valid, rects, k = self._problem()
+        oi, od, ng = gated_topk(jnp.asarray(bank), jnp.asarray(idx),
+                                jnp.asarray(fd), jnp.asarray(kp),
+                                jnp.asarray(valid), jnp.asarray(rects), k=k)
+        oi, od, ng = np.asarray(oi), np.asarray(od), np.asarray(ng)
+        D = desc_dist_matrix(bank, fd)
+        for i in range(len(idx)):
+            if idx[i] < 0:
+                assert ng[i] == 0 and np.all(oi[i] == -1)
+                continue
+            inside = ((kp[:, 0] > rects[i, 0]) & (kp[:, 0] < rects[i, 1])
+                      & (kp[:, 1] > rects[i, 2]) & (kp[:, 1] < rects[i, 3])
+                      & valid)
+            members = np.nonzero(inside)[0]
+            assert ng[i] == len(members)
+            got = oi[i][oi[i] >= 0]
+            assert len(got) == min(k, len(members))
+            assert set(got.tolist()) <= set(members.tolist())
+            # bf16 distance matmuls: values within ~3e-3 of f32 brute force;
+            # near-boundary rank swaps allowed, but every returned distance
+            # must be within tolerance of the true k-th-best cut
+            for j, d in zip(oi[i], od[i]):
+                if j >= 0:
+                    assert abs(d - D[idx[i], j]) < 3e-3
+            if len(members) > k:
+                kth = np.sort(D[idx[i], members])[k - 1]
+                for j in got:
+                    assert D[idx[i], j] <= kth + 6e-3
+
+    def test_packed_roundtrip(self):
+        bank, idx, fd, kp, valid, rects, k = self._problem(seed=1)
+        buf = np.asarray(gated_match_packed(
+            jnp.asarray(bank), jnp.asarray(idx), jnp.asarray(fd),
+            jnp.asarray(kp), jnp.asarray(valid), jnp.asarray(rects), k=k))
+        rows, kps, ds, n_pairs, n_over = unpack_match(buf,
+                                                      len(idx) * k)
+        oi, od, ong = gated_topk(jnp.asarray(bank), jnp.asarray(idx),
+                                 jnp.asarray(fd), jnp.asarray(kp),
+                                 jnp.asarray(valid), jnp.asarray(rects), k=k)
+        oi, od, ong = np.asarray(oi), np.asarray(od), np.asarray(ong)
+        # every live (row, kp) pair of the top-K tables appears in the flat
+        # list with the same distance
+        want = {(r, int(j)): od[r, c]
+                for r in range(len(idx)) for c, j in enumerate(oi[r])
+                if j >= 0}
+        got = {(int(r), int(j)): float(d)
+               for r, j, d in zip(rows, kps, ds) if r >= 0}
+        assert set(got) == set(want)
+        for key, d in got.items():
+            assert abs(d - want[key]) < 2e-3
+        assert n_pairs == len(want)
+        assert n_over == int(np.sum(ong > k))
+
+    def test_flat_overflow_flagging(self):
+        from ppg_slam_tpu.ops.device_match import flatten_topk
+
+        idx = jnp.zeros((8, 4), jnp.int32)  # 32 live pairs
+        dist = jnp.ones((8, 4), jnp.float32)
+        ng = jnp.full((8,), 4, jnp.int32)
+        rows, kps, ds, n_pairs, n_over = flatten_topk(idx, dist, ng,
+                                                      pair_cap=16)
+        assert int(n_pairs) == 32  # reported demand exceeds the cap
+        assert int(jnp.sum(rows >= 0)) == 16
+
+
+class DeviceDescExtractor(SyntheticExtractor):
+    """SyntheticExtractor that hands descriptors over device-resident, the
+    way PPGExtractor(desc_transfer="device") does."""
+
+    def extract(self, image):
+        feats = super().extract(image)
+        n, cap = feats.desc.shape[0], 512
+        padded = np.zeros((cap, 256), np.float32)
+        padded[:n] = feats.desc
+        host = feats.desc
+        feats.desc_dev = jnp.asarray(padded)
+        feats.desc = None
+        feats.desc_fetch = lambda h=host: h
+        return feats
+
+
+def _run_pipeline(extractor_cls, n_frames=60):
+    from ppg_slam_tpu.pipeline.local_mapping import LocalMapping
+    from ppg_slam_tpu.pipeline.tracking import OK, Tracking
+    from ppg_slam_tpu.worldmap import Map, Rig, reset_ids
+
+    reset_ids()
+    seq = SyntheticSequence(n_frames=n_frames)
+    rig = Rig(CAM, freq=200.0)
+    wmap = Map(rig)
+    Map.imu_ini_time = 2.0
+    ext = extractor_cls(seq)
+    tracking = Tracking(wmap, ext)
+    lm = LocalMapping(wmap, tracking=tracking)
+    tracking.local_mapper = lm
+    est, states = {}, []
+    last_t = -1.0
+    for i in range(seq.n_frames):
+        t = seq.frame_times[i]
+        tracking.grab_imu(seq.imu_between(last_t, t))
+        last_t = t
+        frame = tracking.grab_image(np.zeros((2, 2), np.uint8), t)
+        states.append(tracking.state)
+        if tracking.state == OK and frame.has_pose:
+            est[i] = frame.camera_center()
+    return seq, tracking, wmap, est, states
+
+
+@pytest.fixture(scope="module")
+def paired_runs():
+    host = _run_pipeline(SyntheticExtractor)
+    dev = _run_pipeline(DeviceDescExtractor)
+    return host, dev
+
+
+class TestPipelineParity:
+    def test_tracks_equally(self, paired_runs):
+        (h_seq, h_tr, h_map, h_est, h_states) = paired_runs[0]
+        (d_seq, d_tr, d_map, d_est, d_states) = paired_runs[1]
+        from ppg_slam_tpu.pipeline.tracking import OK
+
+        assert d_states.count(OK) >= h_states.count(OK) - 2
+        assert d_states[-1] == OK
+        assert d_tr._dev_matcher is not None, "device path never used"
+        assert d_tr._dev_matcher.n_dispatches > 10
+
+    def test_trajectory_matches_host_run(self, paired_runs):
+        from ppg_slam_tpu.utils.evaluation import ate_rmse
+
+        h_est = paired_runs[0][3]
+        d_est = paired_runs[1][3]
+        common = sorted(set(h_est) & set(d_est))
+        assert len(common) > 30
+        h = np.stack([h_est[i] for i in common])
+        d = np.stack([d_est[i] for i in common])
+        # identical decisions modulo f16 distance rounding -> trajectories
+        # agree to well under a millimeter of the host run
+        assert ate_rmse(d, h, with_scale=False) < 5e-3
+
+    def test_accuracy_no_worse_than_host(self, paired_runs):
+        """Device matching must not degrade ground-truth accuracy vs the
+        dense host matcher (absolute ATE on this short run is dominated by
+        pre-VIBA monocular scale drift, identical in both runs)."""
+        from ppg_slam_tpu.utils.evaluation import ate_rmse
+
+        (h_seq, _, _, h_est, _) = paired_runs[0]
+        (d_seq, _, _, d_est, _) = paired_runs[1]
+
+        def ate(seq, est):
+            idxs = sorted(est)
+            e = np.stack([est[i] for i in idxs])
+            g = np.stack([seq.frame_poses[i][1] for i in idxs])
+            return ate_rmse(e, g, with_scale=True)
+
+        assert ate(d_seq, d_est) < ate(h_seq, h_est) * 1.05 + 1e-3
+
+    def test_keyframes_have_host_descriptors(self, paired_runs):
+        d_map = paired_runs[1][2]
+        for kf in d_map.all_keyframes():
+            assert kf.descriptors is not None
+            assert kf.descriptors.shape[1] == 256

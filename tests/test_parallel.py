@@ -1,46 +1,150 @@
-"""Multi-device sharded BA tests on the 8-device virtual CPU mesh."""
+"""Multi-device sharded BA on the 8-device virtual CPU mesh.
+
+The sharded path is the FULL solver (estimator.ba_core.solve_ba with a mesh
+axis): reprojection + colines (incl. PCG cross-terms) + inertial links +
+bias walks + priors, robust weights, damped accept/reject loop. These tests
+prove 8-device == 1-device on a visual-inertial problem WITH colines, at
+small and at realistic local-window shapes, and that the BA entry points can
+route through the mesh.
+"""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from ppg_slam_tpu.geometry.cameras import CAM_PINHOLE, CameraModel
-from ppg_slam_tpu.parallel import (
-    dryrun_sharded_ba_step,
-    sharded_reproj_normal_eq,
-)
-from ppg_slam_tpu.parallel.sharded_ba import schur_solve
-from ppg_slam_tpu.estimator.ba_core import DOF
-
-CAM = CameraModel(kind=CAM_PINHOLE, fx=400.0, fy=400.0, cx=320.0, cy=240.0,
-                  dist=(0.0, 0.0, 0.0, 0.0), width=640, height=480)
+from ppg_slam_tpu.estimator.ba_core import BAOptions, solve_ba
+from ppg_slam_tpu.parallel import (dryrun_sharded_ba_step, make_vi_problem,
+                                   pad_problem_for_mesh, solve_ba_sharded)
 
 
-def _problem(rng, n_kf=4, n_mp=32, n_obs=256):
-    R = np.broadcast_to(np.eye(3, dtype=np.float32), (n_kf, 3, 3)).copy()
-    t = rng.randn(n_kf, 3).astype(np.float32) * 0.1
-    X = np.stack([rng.uniform(-1, 1, n_mp), rng.uniform(-1, 1, n_mp),
-                  rng.uniform(3, 6, n_mp)], 1).astype(np.float32)
-    r_kf = rng.randint(0, n_kf, n_obs).astype(np.int32)
-    r_mp = rng.randint(0, n_mp, n_obs).astype(np.int32)
-    r_uv = rng.uniform(0, 480, (n_obs, 2)).astype(np.float32)
-    r_valid = np.ones(n_obs, bool)
-    return R, t, X, r_kf, r_mp, r_uv, r_valid
+def _mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("dp",))
 
 
-def _put(mesh, arrs):
-    shard = NamedSharding(mesh, P("dp"))
-    rep = NamedSharding(mesh, P())
-    return ([jax.device_put(jnp.asarray(a), rep) for a in arrs[:3]]
-            + [jax.device_put(jnp.asarray(a), shard) for a in arrs[3:]])
+def _solve_both(n_kf, n_mp, n_obs, n_col, iters=3, seed=0):
+    cam, states, points, prob, kf_dof, mp_free = make_vi_problem(
+        n_kf=n_kf, n_mp=n_mp, n_obs=n_obs, n_col=n_col, seed=seed)
+    opts = BAOptions(iters=iters, lambda0=1e-2, tol=0.0)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    z3 = jnp.zeros(3, jnp.float32)
+    ref = solve_ba(states, points, prob, kf_dof, mp_free, eye, z3, cam, opts)
+    shd = solve_ba_sharded(states, points, prob, kf_dof, mp_free, eye, z3,
+                           cam, opts, _mesh(8))
+    return ref, shd, prob
+
+
+class TestShardedEqualsSingle:
+    def test_small_vi_problem(self):
+        (st_r, pts_r, info_r), (st_s, pts_s, info_s), prob = _solve_both(
+            n_kf=6, n_mp=64, n_obs=256, n_col=16)
+        # chi2 must actually improve (this is a real solve, not a no-op)
+        hist = np.asarray(info_r["chi2_hist"])
+        assert hist[-1] < hist[0] * 0.5
+        np.testing.assert_allclose(np.asarray(info_s["chi2_hist"]), hist,
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(st_s.t), np.asarray(st_r.t),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st_s.R), np.asarray(st_r.R),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st_s.v), np.asarray(st_r.v),
+                                   atol=1e-5)
+        # landmarks go through the f32 PCG whose psum changes reduction
+        # order: agreement to ~1e-3 is float noise, not algorithm drift
+        np.testing.assert_allclose(np.asarray(pts_s), np.asarray(pts_r),
+                                   atol=2e-3)
+        # per-observation outlier stats must cover the same observations
+        n_obs = prob.r_uv.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(info_s["obs_chi2"])[:n_obs],
+            np.asarray(info_r["obs_chi2"])[:n_obs], atol=1e-2)
+
+    def test_realistic_window_shape(self):
+        """VERDICT r1 item 4: ≥50 KF / 5k MP / 40k obs with colines."""
+        (st_r, pts_r, info_r), (st_s, pts_s, info_s), _ = _solve_both(
+            n_kf=50, n_mp=5120, n_obs=40960, n_col=512, iters=2, seed=1)
+        hist = np.asarray(info_r["chi2_hist"])
+        assert hist[-1] < hist[0]
+        np.testing.assert_allclose(np.asarray(info_s["chi2_hist"]), hist,
+                                   rtol=5e-4)
+        np.testing.assert_allclose(np.asarray(st_s.t), np.asarray(st_r.t),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(pts_s), np.asarray(pts_r),
+                                   atol=1e-3)
+
+    def test_pad_problem_for_mesh(self):
+        _, _, _, prob, _, _ = make_vi_problem(n_kf=4, n_mp=16, n_obs=37,
+                                              n_col=5)
+        p = pad_problem_for_mesh(prob, 8)
+        for name in ("r_kf", "c_idx", "i_kf1", "p_kf", "bp_kf"):
+            assert getattr(p, name).shape[0] % 8 == 0
+        assert int(jnp.sum(p.r_valid)) == int(jnp.sum(prob.r_valid))
+        assert int(jnp.sum(p.i_valid)) == int(jnp.sum(prob.i_valid))
+
+
+class TestEntryPointsOnMesh:
+    def test_full_inertial_ba_mesh_on_live_map(self):
+        """full_inertial_ba(mesh=) must run on a real map and move it the
+        same way the single-device call does."""
+        import copy
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from synthetic_sequence import SyntheticExtractor, SyntheticSequence
+        from synthetic_world import CAM
+
+        from ppg_slam_tpu.estimator.ba import full_inertial_ba
+        from ppg_slam_tpu.pipeline.local_mapping import LocalMapping
+        from ppg_slam_tpu.pipeline.tracking import Tracking
+        from ppg_slam_tpu.worldmap import Map, Rig, reset_ids
+
+        from ppg_slam_tpu.worldmap.serialize import load_map, save_map
+
+        def build_map():
+            reset_ids()
+            seq = SyntheticSequence(n_frames=60)
+            rig = Rig(CAM, freq=200.0)
+            wmap = Map(rig)
+            Map.imu_ini_time = 2.0
+            tracking = Tracking(wmap, SyntheticExtractor(seq))
+            tracking.local_mapper = LocalMapping(wmap, tracking=tracking)
+            last_t = -1.0
+            for i in range(seq.n_frames):
+                t = seq.frame_times[i]
+                tracking.grab_imu(seq.imu_between(last_t, t))
+                last_t = t
+                tracking.grab_image(np.zeros((2, 2), np.uint8), t)
+            return wmap
+
+        import tempfile
+
+        wmap = build_map()
+        assert wmap.imu_initialized
+        # clone via serialize so the mesh and single-device solves start
+        # from identical state without rebuilding the pipeline
+        with tempfile.NamedTemporaryFile(suffix=".pkl") as f:
+            save_map(wmap, f.name)
+            wmap2 = load_map(f.name, rig=wmap.rig)
+        poses_before = {kf.mnId: kf.tcw.copy() for kf in wmap.all_keyframes()}
+        full_inertial_ba(wmap, iters=4, mesh=_mesh(8))
+        moved = [np.linalg.norm(kf.tcw - poses_before[kf.mnId])
+                 for kf in wmap.all_keyframes()]
+        assert np.isfinite(moved).all()
+
+        full_inertial_ba(wmap2, iters=4)
+        ref = sorted((kf.mnId, kf.tcw.copy())
+                     for kf in wmap2.all_keyframes())
+        got = sorted((kf.mnId, kf.tcw.copy()) for kf in wmap.all_keyframes())
+        for (i1, t1), (i2, t2) in zip(ref, got):
+            assert i1 == i2
+            np.testing.assert_allclose(t2, t1, atol=1e-4)
 
 
 def test_dryrun_8_devices():
-    devices = np.array(jax.devices()[:8])
-    mesh = Mesh(devices, ("dp",))
-    dryrun_sharded_ba_step(mesh)
+    dryrun_sharded_ba_step(_mesh(8))
 
 
 def test_graft_dryrun_multichip():
@@ -54,104 +158,3 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
-
-
-def test_sharded_assembly_matches_single_device():
-    rng = np.random.RandomState(0)
-    prob = _problem(rng)
-
-    mesh8 = Mesh(np.array(jax.devices()[:8]), ("dp",))
-    mesh1 = Mesh(np.array(jax.devices()[:1]), ("dp",))
-    f8 = sharded_reproj_normal_eq(mesh8, CAM)
-    f1 = sharded_reproj_normal_eq(mesh1, CAM)
-
-    out8 = f8(*_put(mesh8, list(prob)))
-    out1 = f1(*_put(mesh1, list(prob)))
-    for a8, a1, name in zip(out8, out1, ["H", "g", "Hll", "bl", "W"]):
-        np.testing.assert_allclose(np.asarray(a8), np.asarray(a1),
-                                   atol=1e-2, rtol=1e-4, err_msg=name)
-
-
-def test_schur_step_equals_dense_full_system_solve():
-    """The sharded Schur step must equal solving the full (poses ⊕ landmarks)
-    damped normal equations dense — proving the W cross-term is exact."""
-    rng = np.random.RandomState(1)
-    n_kf, n_mp, n_obs = 3, 12, 160
-    prob = _problem(rng, n_kf, n_mp, n_obs)
-    mesh8 = Mesh(np.array(jax.devices()[:8]), ("dp",))
-    f8 = sharded_reproj_normal_eq(mesh8, CAM)
-    H, g, Hll, b_l, W = [np.asarray(x, np.float64)
-                         for x in f8(*_put(mesh8, list(prob)))]
-
-    lam = 1e-2
-    nd = n_kf * DOF
-
-    # dense full system
-    full = np.zeros((nd + 3 * n_mp, nd + 3 * n_mp))
-    full[:nd, :nd] = H + lam * np.eye(nd)
-    full[np.arange(DOF), np.arange(DOF)] += 1e8  # gauge prior on pose 0
-    for m in range(n_mp):
-        full[nd + 3 * m: nd + 3 * m + 3, nd + 3 * m: nd + 3 * m + 3] = (
-            Hll[m] + lam * np.eye(3))
-    Wf = W.reshape(nd, n_mp * 3)
-    full[:nd, nd:] = Wf
-    full[nd:, :nd] = Wf.T
-    rhs = np.concatenate([g, b_l.reshape(-1)])
-    sol = -np.linalg.solve(full, rhs)
-
-    # schur_solve is dtype-generic; run in f64 so the comparison isolates
-    # algebraic exactness (the W term), not float32 conditioning.
-    dx, dX = schur_solve(
-        jnp.asarray(H), jnp.asarray(g), jnp.asarray(Hll),
-        jnp.asarray(b_l), jnp.asarray(W), jnp.float64(lam))
-    np.testing.assert_allclose(np.asarray(dx), sol[:nd], atol=1e-8,
-                               rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(dX).reshape(-1), sol[nd:],
-                               atol=1e-8, rtol=1e-6)
-
-
-def test_sharded_step_reduces_reprojection_error():
-    """A perturbed problem must improve after one sharded GN step."""
-    from ppg_slam_tpu.parallel.sharded_ba import sharded_ba_step
-    from ppg_slam_tpu.estimator.ba_core import make_reproj_residual
-
-    rng = np.random.RandomState(2)
-    n_kf, n_mp, n_obs = 4, 24, 24 * 4
-    # ground truth: points ahead of identity-ish cameras
-    X_gt = np.stack([rng.uniform(-1, 1, n_mp), rng.uniform(-1, 1, n_mp),
-                     rng.uniform(4, 6, n_mp)], 1).astype(np.float32)
-    t_gt = np.zeros((n_kf, 3), np.float32)
-    t_gt[:, 0] = np.linspace(0, 0.5, n_kf)
-    R_gt = np.broadcast_to(np.eye(3, dtype=np.float32), (n_kf, 3, 3)).copy()
-    r_kf = np.repeat(np.arange(n_kf, dtype=np.int32), n_mp)[:n_obs]
-    r_mp = np.tile(np.arange(n_mp, dtype=np.int32), n_kf)[:n_obs]
-
-    res_fn = make_reproj_residual(CAM, jnp.eye(3), jnp.zeros(3))
-
-    def project(R, t, X):
-        z15 = jnp.zeros(DOF, jnp.float32)
-        z3 = jnp.zeros(3, jnp.float32)
-        return jax.vmap(lambda k, m: res_fn(
-            z15, z3, jnp.asarray(R)[k], jnp.asarray(t)[k],
-            jnp.asarray(X)[m], jnp.zeros(2)))(r_kf, r_mp)
-
-    r_uv = -np.asarray(project(R_gt, t_gt, X_gt))  # exact observations
-    r_valid = np.ones(n_obs, bool)
-
-    X0 = X_gt + rng.randn(n_mp, 3).astype(np.float32) * 0.02
-    t0 = t_gt + rng.randn(n_kf, 3).astype(np.float32) * 0.01
-    t0[0] = t_gt[0]
-
-    mesh8 = Mesh(np.array(jax.devices()[:8]), ("dp",))
-    step = sharded_ba_step(mesh8, CAM)
-    args = _put(mesh8, [R_gt, t0, X0, r_kf, r_mp,
-                        r_uv.astype(np.float32), r_valid])
-    R1, t1, X1 = step(*args, jnp.float32(1e-4))
-
-    def cost(R, t, X):
-        r = project(np.asarray(R), np.asarray(t), np.asarray(X)) + r_uv
-        return float(jnp.sum(r * r))
-
-    c0 = cost(R_gt, t0, X0)
-    c1 = cost(R1, t1, X1)
-    assert c1 < 0.2 * c0, (c0, c1)
