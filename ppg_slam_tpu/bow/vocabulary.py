@@ -44,9 +44,26 @@ class Vocabulary:
         self.n_words = int((node_word >= 0).sum())
 
     # ------------------------------------------------------------------
+    def save_npz(self, path: str) -> None:
+        """Write the converted-vocabulary asset format (self-contained
+        runtime: assets/*.npz, like the net weights)."""
+        np.savez_compressed(
+            path, parent=self.node_parent, weight=self.node_weight,
+            desc=self.node_desc, children=self.children,
+            word=self.node_word,
+            meta=np.asarray([self.k, self.L, self.scoring, self.weighting],
+                            np.int32))
+
     @staticmethod
     def load(path: str) -> "Vocabulary":
         raw = open(path, "rb").read()
+        if raw[:2] == b"PK":  # npz (zip) — the converted asset format
+            z = np.load(path)
+            k, L, scoring, weighting = (int(v) for v in z["meta"])
+            return Vocabulary(z["parent"], z["weight"],
+                              z["desc"].astype(np.float32),
+                              z["children"], z["word"], k, L, scoring,
+                              weighting)
         sig, = struct.unpack_from("<Q", raw, 0)
         if sig != MAGIC:
             raise ValueError(f"not a DBoW3 binary vocabulary: {path}")

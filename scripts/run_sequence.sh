@@ -20,14 +20,14 @@ OUT="${4:-./run_out}"
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 
 case "$KIND" in
-  euroc) CFG="$REPO/configs/euroc.yaml";  VOC_NAME=voc_euroc_9x3.gz ;;
-  tumvi) CFG="$REPO/configs/tumvi.yaml";  VOC_NAME=voc_tum_9x3.gz ;;
-  uma)   CFG="$REPO/configs/uma.yaml";    VOC_NAME=voc_tum_9x3.gz ;;
+  euroc) CFG="$REPO/configs/euroc.yaml";  VOC_NAME=voc_euroc_9x3.npz ;;
+  tumvi) CFG="$REPO/configs/tumvi.yaml";  VOC_NAME=voc_tum_9x3.npz ;;
+  uma)   CFG="$REPO/configs/uma.yaml";    VOC_NAME=voc_tum_9x3.npz ;;
   *) echo "unknown kind $KIND" >&2; exit 2 ;;
 esac
 # TUM-VI 1024 sequences: pass CFG override via env
 CFG="${CONFIG:-$CFG}"
-VOC="${VOC:-/root/reference/Vocabulary/$VOC_NAME}"
+VOC="${VOC:-$REPO/assets/$VOC_NAME}"
 WEIGHTS="${WEIGHTS:-$REPO/assets/ppg_weights.npz}"
 EXTRA=()
 [ "$KIND" = uma ] && EXTRA+=(--no-loop-closing)  # reference UMA ActiveLoop: 0

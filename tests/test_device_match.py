@@ -152,6 +152,7 @@ def paired_runs():
     return host, dev
 
 
+@pytest.mark.slow  # two full 60-frame pipeline runs: opt-in lane
 class TestPipelineParity:
     def test_tracks_equally(self, paired_runs):
         (h_seq, h_tr, h_map, h_est, h_states) = paired_runs[0]

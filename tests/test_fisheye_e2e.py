@@ -13,6 +13,8 @@ KB8 projections.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 512^2 KB8 CNN pipeline on CPU: opt-in lane
+
 import jax.numpy as jnp
 
 from ppg_slam_tpu.frontend import PPGExtractor

@@ -105,10 +105,10 @@ class TestEntryPointsOnMesh:
 
         def build_map():
             reset_ids()
-            seq = SyntheticSequence(n_frames=60)
+            seq = SyntheticSequence(n_frames=48)
             rig = Rig(CAM, freq=200.0)
             wmap = Map(rig)
-            Map.imu_ini_time = 2.0
+            Map.imu_ini_time = 1.5
             tracking = Tracking(wmap, SyntheticExtractor(seq))
             tracking.local_mapper = LocalMapping(wmap, tracking=tracking)
             last_t = -1.0

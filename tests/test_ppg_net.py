@@ -18,10 +18,13 @@ NET_DIR = "/root/reference/net"
 
 torch = pytest.importorskip("torch")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(os.path.join(NET_DIR, "Backbone.pt")),
-    reason="reference nets not available",
-)
+pytestmark = [
+    pytest.mark.slow,  # torch-CPU golden parity: opt-in lane (pytest.ini)
+    pytest.mark.skipif(
+        not os.path.exists(os.path.join(NET_DIR, "Backbone.pt")),
+        reason="reference nets not available",
+    ),
+]
 
 
 @pytest.fixture(scope="module")

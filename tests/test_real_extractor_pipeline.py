@@ -15,6 +15,8 @@ matches real descriptors (Tracking.cpp:488-554).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # real-CNN pipeline on CPU: opt-in lane
+
 from ppg_slam_tpu.frontend import PPGExtractor
 from ppg_slam_tpu.geometry.cameras import CAM_PINHOLE, CameraModel
 from ppg_slam_tpu.pipeline.local_mapping import LocalMapping
