@@ -96,8 +96,21 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
     else:
         def _solve(st_, pts_, o, **kw):
             return solve_ba(st_, pts_, *args, o, **kw)
+    def _start_fetch(st, pts, info):
+        """Enqueue the D2H of every array the host post-pass reads right
+        after the solve dispatch — a late synchronous fetch serializes
+        behind all queued device work on tunneled links."""
+        for x in (*st, pts, info.get("obs_chi2"), info.get("obs_depth"),
+                  info.get("chi2_hist"), info.get("iters_run"),
+                  info.get("final_chi2")):
+            try:
+                x.copy_to_host_async()
+            except Exception:
+                pass
+
     if abort_check is None or opts.iters <= chunk:
         st, pts, info = _solve(states, points, opts)
+        _start_fetch(st, pts, info)
     else:
         # interruptible solve: run the damped-GN loop in fixed-size chunks,
         # checking the abort flag between chunks — the TPU equivalent of the
@@ -117,6 +130,7 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
         stalled_chunks = 0
         while done < opts.iters:
             st, pts, info = _solve(st, pts, copts, lam0=lam)
+            _start_fetch(st, pts, info)
             lam = info["lam"]
             # the inner while_loop can exit before `chunk` iterations when
             # opts.tol > 0 — count what actually ran, not the nominal size

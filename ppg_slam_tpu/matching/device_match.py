@@ -92,6 +92,7 @@ class DeviceMatcher:
         self.n_dispatches = 0
         self.n_bank_uploads = 0
         self.n_pair_overflows = 0
+        self.max_pairs = 0
 
     # -- bank maintenance (keyframe-rate) --------------------------------
     def release(self, mp_id: int) -> None:
@@ -193,6 +194,7 @@ class DeviceMatcher:
             buf, min(PAIR_CAP, m * self.k))
         self.n_dispatches += 1
         self.n_pair_overflows += int(n_pairs > len(p_rows))
+        self.max_pairs = max(self.max_pairs, int(n_pairs))
 
         maps: List[Dict[int, float]] = [{} for _ in range(len(live[:m]))]
         for r, j, d in zip(p_rows, p_kps, p_ds):

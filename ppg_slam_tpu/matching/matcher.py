@@ -162,32 +162,37 @@ class Matcher:
             mp.tracked_by_frame = frame.mnId
             n_matches += 1
 
-            # seed growing through MapEdge <-> KeyEdge pairs
+            # Seed growing through MapEdge <-> KeyEdge pairs. The map side
+            # is always the ANCHOR's edge star (the reference evaluates
+            # pMP->getEdges() inside the seed loop, Matcher.cpp:295-303):
+            # grown keypoints only pair the anchor's other endpoints with
+            # their own key edges. A true multi-hop BFS (each seed growing
+            # through its own edges) was tried and measured: on repetitive
+            # structure it chains wrong associations — absolute-threshold
+            # acceptance with no ratio test compounds hop by hop — until
+            # pose optimization rejects the whole frame.
+            map_edges = mp.get_edges()
+            lx_all = [i for i, me in enumerate(map_edges)
+                      if not me.is_bad() and me.valid
+                      and me.the_other_pt(mp) is not None]
+            others = [map_edges[i].the_other_pt(mp) for i in lx_all]
+            if others:
+                dists.ensure(others)
             seeds = deque([best_i])
-            while seeds:
+            while seeds and lx_all:
                 key_id = seeds.popleft()
-                seed_mp = frame.map_points[key_id]
-                if seed_mp is None:
-                    continue
-                map_edges = seed_mp.get_edges()
                 key_edges = frame.connected[key_id] if key_id < len(
                     frame.connected) else []
-                if not map_edges or not key_edges:
+                if not key_edges:
                     continue
-                lx = [i for i, me in enumerate(map_edges)
-                      if not me.is_bad() and me.valid
-                      and me.the_other_pt(seed_mp) is not None]
+                lx = list(lx_all)
                 ly = list(range(len(key_edges)))
-                if not lx or not ly:
-                    continue
-                # one batched distance block for this seed's other endpoints
-                others = [map_edges[i].the_other_pt(seed_mp) for i in lx]
-                dists.ensure(others)
                 key_os = [self._other_pid(frame, key_edges[j], key_id)
                           for j in ly]
                 weight = np.full((len(map_edges), len(key_edges)), 1e6,
                                  np.float32)
-                for i, mp_o in zip(lx, others):
+                for i, mp_o in zip(lx, (map_edges[i].the_other_pt(mp)
+                                        for i in lx)):
                     orow = dists.row(mp_o)
                     for j, key_o in zip(ly, key_os):
                         if mp_o is frame.map_points[key_o]:
@@ -205,7 +210,7 @@ class Matcher:
                     key_edge_id = key_edges[ly[mj]]
                     del lx[mi]
                     del ly[mj]
-                    mp_o = me.the_other_pt(seed_mp)
+                    mp_o = me.the_other_pt(mp)
                     key_o = self._other_pid(frame, key_edge_id, key_id)
                     if mp_o is None or mp_o.is_bad() or \
                             mp_o.tracked_by_frame == frame.mnId:

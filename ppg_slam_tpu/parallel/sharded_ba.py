@@ -129,7 +129,7 @@ def solve_ba_sharded(states: KFStates, points, prob: BAProblem, kf_dof,
 # colines through the full sharded solver
 # ---------------------------------------------------------------------------
 
-def make_vi_problem(n_kf=6, n_mp=64, n_obs=256, n_col=32, seed=0,
+def make_vi_problem(n_kf=6, n_mp=128, n_obs=256, n_col=32, seed=0,
                     noise=0.02):
     """Synthetic visual-inertial BA problem (numpy host data): a KF chain
     with reprojection observations, valid collinear triplets, inertial links

@@ -19,7 +19,8 @@ from ..worldmap import KeyFrame, Map
 
 
 class LocalMapping:
-    def __init__(self, wmap: Map, loop_closer=None, tracking=None):
+    def __init__(self, wmap: Map, loop_closer=None, tracking=None,
+                 threaded: bool = False):
         self.map = wmap
         self.loop_closer = loop_closer
         self.tracking = tracking
@@ -28,6 +29,12 @@ class LocalMapping:
         self._idle = True
         self._processing = False
         self.n_ba_aborted = 0  # observability: how many BAs were cut short
+        # threaded=True enables the chunked-BA abort poll (the reference's
+        # mbAbortBA, LocalMapping.cpp:118-124). In the synchronous pipeline
+        # insert_keyframe can never race a running solve, so the poll would
+        # only add per-chunk dispatch round trips — skip it and run each BA
+        # as ONE fused device solve.
+        self.threaded = threaded
 
     def idle(self) -> bool:
         return self._idle and not self.queue
@@ -82,16 +89,17 @@ class LocalMapping:
             self.search_in_neighbors(kf)
         if self.map.n_keyframes() > 2:
             self.abort_ba = False
+            abort = self._abort_requested if self.threaded else None
             with profiler.timer("local_mapping.lba"):
                 if self.map.imu_initialized:
                     inliers = (self.tracking.matches_inliers
                                if self.tracking is not None else 0)
                     b_large = inliers > 75  # LocalMapping.cpp:74
                     local_inertial_ba(kf, self.map, b_large=b_large,
-                                      abort_check=self._abort_requested)
+                                      abort_check=abort)
                 else:
                     local_bundle_adjustment(
-                        kf, self.map, abort_check=self._abort_requested)
+                        kf, self.map, abort_check=abort)
         profiler.count("keyframes")
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(kf)

@@ -112,8 +112,12 @@ class System:
         self.loop_closing = LoopClosing(self.map,
                                         active=active_loop_closing)
         self.loop_closing.threaded_gba = threaded_gba
+        # the abort-poll (chunked BA) is only useful when a background GBA
+        # thread can request interruption; the serial pipeline runs each BA
+        # as one fused device program instead
         self.local_mapping = LocalMapping(self.map,
-                                          loop_closer=self.loop_closing)
+                                          loop_closer=self.loop_closing,
+                                          threaded=threaded_gba)
         self.tracking = Tracking(self.map, self.extractor,
                                  local_mapper=self.local_mapping)
         self.local_mapping.tracking = self.tracking

@@ -991,20 +991,17 @@ class Tracking:
                 anchors.append(mp)
             seen = {mp.mnId for mp in anchors}
             partners = []
-            ring = anchors
-            for _hop in range(2):
-                nxt = []
-                for mp in ring:
-                    for me in mp.get_edges():
-                        if me.is_bad() or not me.valid:
-                            continue
-                        o = me.the_other_pt(mp)
-                        if o is None or o.is_bad() or o.mnId in seen:
-                            continue
-                        seen.add(o.mnId)
-                        nxt.append(o)
-                partners.extend(nxt)
-                ring = nxt
+            # growth pairs only the ANCHOR's edge star (matcher growth
+            # semantics, Matcher.cpp:295-303) -> 1 hop of partners suffices
+            for mp in anchors:
+                for me in mp.get_edges():
+                    if me.is_bad() or not me.valid:
+                        continue
+                    o = me.the_other_pt(mp)
+                    if o is None or o.is_bad() or o.mnId in seen:
+                        continue
+                    seen.add(o.mnId)
+                    partners.append(o)
             r_grow = max(15.0, 8.0 * th)
             if partners:
                 X = np.stack([o.pos for o in partners])

@@ -177,12 +177,15 @@ class MapPoint:
         self.max_depth = dmax
         self.normal = (normal / n).astype(np.float32)
 
-    # depth-invariance bounds: no image pyramid in PPG -> direct min/max
+    # depth-invariance bounds (MapPoint.cpp:378-389: 0.5x min / 2.0x max —
+    # PPG has no image pyramid but the reference still allows a wide band;
+    # tighter bounds progressively frustum-reject close points as the
+    # camera translates, bleeding tracked inliers between keyframes)
     def min_distance_invariance(self) -> float:
-        return 0.8 * self.min_depth
+        return 0.5 * self.min_depth
 
     def max_distance_invariance(self) -> float:
-        return 1.2 * self.max_depth
+        return 2.0 * self.max_depth
 
     # -- PPG graph -----------------------------------------------------------
     def add_edge(self, edge: "MapEdge") -> None:
