@@ -463,12 +463,15 @@ def _e2e_cam():
 def _render_wireframe_euroc(n_frames=48, seed=7, speed=0.10):
     """Irregular wireframe corridor at the EuRoC camera shape — real images
     the PPG nets respond to. Bar spacing/tilt/intensity are randomized so
-    junction descriptors are distinctive (a PERIODIC grid aliases the
-    init/tracking association windows and collapses two-view RANSAC: the
-    epipolar constraint cannot reject matches displaced by exactly one
-    grid cell along the motion direction). The camera sweeps the corridor
-    at ~9 px/frame optical flow, continuously revealing fresh structure,
-    so the map keeps growing for the whole sequence."""
+    junction geometry is aperiodic (a PERIODIC grid aliases the
+    init/tracking association windows and collapses two-view RANSAC), and
+    the wall carries a world-fixed low-contrast texture (homography-warped
+    per frame) so junction DESCRIPTORS are position-distinctive — on a
+    blank wall every junction looks identical and the matcher's seed
+    growing (absolute-threshold acceptance, no spatial gate — the
+    reference semantics) chains wrong associations until pose optimization
+    rejects the whole frame. The camera sweeps the corridor at ~9 px/frame
+    optical flow, continuously revealing fresh structure."""
     import cv2
 
     cam = _e2e_cam()
@@ -492,6 +495,21 @@ def _render_wireframe_euroc(n_frames=48, seed=7, speed=0.10):
         segs.append((tuple(p), tuple(q)))
         vals.append(int(rng.randint(170, 255)))
 
+    # world-fixed wall texture (plane z=6): two-scale smoothed noise around
+    # the base gray, warped into each frame by the exact plane homography
+    s = 96.0  # texture px per meter
+    wx0, wy0 = x0 - 1.5, -2.4
+    tw, thh = int((x1 + 1.5 - wx0) * s), int((2.4 - wy0) * s)
+    t1 = cv2.resize(rng.randint(0, 255, (thh // 8, tw // 8)).astype(np.uint8),
+                    (tw, thh), interpolation=cv2.INTER_CUBIC)
+    t2 = cv2.resize(rng.randint(0, 255, (thh // 32, tw // 32)).astype(np.uint8),
+                    (tw, thh), interpolation=cv2.INTER_CUBIC)
+    tex = np.clip(110.0 + (t1.astype(np.float32) - 127.0) * 0.18
+                  + (t2.astype(np.float32) - 127.0) * 0.25, 0,
+                  255).astype(np.uint8)
+    K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]])
+    Btex = np.array([[1.0 / s, 0, wx0], [0, 1.0 / s, wy0], [0, 0, 6.0]])
+
     frames, poses = [], []
     img_rng = np.random.RandomState(seed + 100)
     for k in range(n_frames):
@@ -499,7 +517,11 @@ def _render_wireframe_euroc(n_frames=48, seed=7, speed=0.10):
         Rcw = np.array([[np.cos(yaw), 0, -np.sin(yaw)], [0, 1, 0],
                         [np.sin(yaw), 0, np.cos(yaw)]])
         tcw = -Rcw @ np.array([speed * k, 0.0, 0.0])
-        img = np.full((cam.height, cam.width), 110, np.uint8)
+        M = Rcw @ Btex
+        M[:, 2] += tcw
+        img = cv2.warpPerspective(tex, (K @ M).astype(np.float64),
+                                  (cam.width, cam.height),
+                                  flags=cv2.INTER_LINEAR, borderValue=110)
         for (p, q), v in zip(segs, vals):
             Pc = Rcw @ np.asarray(p) + tcw
             Qc = Rcw @ np.asarray(q) + tcw
@@ -574,6 +596,7 @@ def bench_e2e_live(n_frames=48, batch=8):
         steady = times[10:]
         return float(np.mean(steady)) * 1e3, ok, wmap.n_keyframes(), ate
 
+    run(False)  # warm pass: compile every per-frame program untimed
     serial_ms, ok_s, kf_s, ate_s = run(False)
     async_ms, ok_a, kf_a, ate_a = run(True)
     return serial_ms, async_ms, ok_s and ok_a, (kf_s, kf_a), (ate_s, ate_a)

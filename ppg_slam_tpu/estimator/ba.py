@@ -19,16 +19,18 @@ Flavors:
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..worldmap.elements import MapColine, MapPoint
 from ..worldmap.frame import KeyFrame, Rig
 from ..worldmap.map import Map
-from .ba_core import BAOptions, BAProblem, KFStates, empty_problem, solve_ba
+from .ba_core import BAOptions, BAProblem, KFStates, solve_ba
 
 CHI2_MONO = 5.991
 
@@ -36,6 +38,20 @@ CHI2_MONO = 5.991
 def _pow2(n: int, lo: int = 64) -> int:
     n = max(n, 1)
     return max(lo, 1 << (n - 1).bit_length())
+
+
+@functools.lru_cache(None)
+def _coarse_buckets() -> bool:
+    """On an accelerator backend every new (N, M, O, C) bucket combination
+    costs a multi-second XLA compile (profiled: 8-12 distinct local-BA
+    buckets over one growing 48-frame run dominated live latency), so pad
+    to coarse floors there — a 2x-padded one-hot assembly costs ~2 ms more
+    device time, two orders of magnitude below one compile. The CPU test
+    backend keeps fine buckets: there compute scales with the padded shape
+    and compiles are cheap."""
+    import jax
+
+    return jax.default_backend() != "cpu"
 
 
 def _sqrt_info_psd(M: np.ndarray) -> np.ndarray:
@@ -70,8 +86,9 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
     if os.environ.get("PPG_NO_PAD"):  # A/B debugging escape hatch
         N, M = n, m
     else:
-        N = _pow2(n, lo=4)
-        M = _pow2(m, lo=128)
+        coarse = _coarse_buckets()
+        N = _pow2(n, lo=16 if coarse else 4)
+        M = _pow2(m, lo=512 if coarse else 128)
     if N != n:
         eye = np.broadcast_to(np.eye(3, dtype=np.float32), (N - n, 3, 3))
         z = np.zeros((N - n, 3), np.float32)
@@ -109,8 +126,12 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
                 pass
 
     if abort_check is None or opts.iters <= chunk:
-        st, pts, info = _solve(states, points, opts)
-        _start_fetch(st, pts, info)
+        from ..utils import profiler
+
+        with profiler.timer("ba.dispatch"):
+            st, pts, info = _solve(states, points, opts)
+        with profiler.timer("ba.startfetch"):
+            _start_fetch(st, pts, info)
     else:
         # interruptible solve: run the damped-GN loop in fixed-size chunks,
         # checking the abort flag between chunks — the TPU equivalent of the
@@ -221,17 +242,48 @@ def _gather_colines(wmap: Map, mp_index: Dict[int, int]
     return np.asarray(idx, np.int32), np.asarray(w, np.float32), refs
 
 
+@functools.lru_cache(maxsize=32)
+def _np_problem_template(O: int, C: int, L: int, P: int, B: int):
+    """Numpy mirror of ba_core.empty_problem for the host assemblers.
+    Cached per shape bucket; callers must .copy() any field they write
+    (the untouched all-invalid fields are shared read-only)."""
+    f = lambda *s: np.zeros(s, np.float32)
+    i = lambda *s: np.zeros(s, np.int32)
+    b = lambda *s: np.zeros(s, bool)
+    eye = lambda k, n: np.broadcast_to(np.eye(k, dtype=np.float32),
+                                       (n, k, k))
+    return dict(
+        r_kf=i(O), r_mp=i(O), r_uv=f(O, 2), r_valid=b(O),
+        c_idx=i(C, 3), c_w=f(C), c_valid=b(C),
+        i_kf1=i(L), i_kf2=i(L), i_dR=eye(3, L), i_dV=f(L, 3),
+        i_dP=f(L, 3), i_JRg=f(L, 3, 3), i_JVg=f(L, 3, 3),
+        i_JVa=f(L, 3, 3), i_JPg=f(L, 3, 3), i_JPa=f(L, 3, 3),
+        i_b0=f(L, 6), i_sqi=eye(9, L), i_dt=f(L), i_valid=b(L),
+        i_huber=b(L),
+        rw_sqig=eye(3, L), rw_sqia=eye(3, L), rw_valid=b(L),
+        p_kf=i(P), p_R=eye(3, P), p_t=f(P, 3), p_v=f(P, 3), p_bg=f(P, 3),
+        p_ba=f(P, 3), p_sqi=eye(15, P), p_valid=b(P),
+        bp_kf=i(B), bp_wg=f(B), bp_wa=f(B), bp_valid=b(B),
+    )
+
+
 def _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w, links=None, priors=None,
                  bias_priors=None) -> BAProblem:
-    O = _pow2(len(r_kf))
-    C = _pow2(len(c_idx), lo=16)
-    L = _pow2(len(links[0]) if links else 1, lo=4)
+    coarse = _coarse_buckets()
+    O = _pow2(len(r_kf), lo=4096 if coarse else 64)
+    C = _pow2(len(c_idx), lo=256 if coarse else 16)
+    L = _pow2(len(links[0]) if links else 1, lo=64 if coarse else 4)
     P = 1
-    B = _pow2(len(bias_priors[0]) if bias_priors else 1, lo=1)
-    prob = empty_problem(n_obs=O, n_col=C, n_links=L, n_priors=P, n_bp=B)
+    B = _pow2(len(bias_priors[0]) if bias_priors else 1,
+              lo=4 if coarse else 1)
+    # host-side (numpy) template: building the empty problem with device
+    # zeros costs one D2H round trip per copied field on tunneled links
+    # (profiled at ~260 ms per local-BA assembly)
+    tmpl = _np_problem_template(O, C, L, P, B)
+    prob = BAProblem(**{k: v for k, v in tmpl.items()})
 
     def put(arr, vals, valid_name=None):
-        a = np.asarray(prob._asdict()[arr]).copy()
+        a = tmpl[arr].copy()
         n = len(vals)
         if n:
             a[:n] = vals
@@ -356,59 +408,83 @@ def local_bundle_adjustment(kf: KeyFrame, wmap: Map,
                             iters: int = 10, abort_check=None) -> None:
     """Visual local BA (OptimizerLBA.cpp:35-329). abort_check: polled
     between GN chunks (the reference's force-stop flag, :112-113)."""
+    from ..utils import profiler
+
     rig = wmap.rig
-    local = [kf] + [k for k in kf.ordered_connected if not k.is_bad()]
-    local_ids = {k.mnId for k in local}
-    mps: List[MapPoint] = []
-    seen = set()
-    for k in local:
-        for mp in k.map_points:
-            if mp is not None and not mp.is_bad() and mp.mnId not in seen:
-                seen.add(mp.mnId)
-                mps.append(mp)
-    fixed: List[KeyFrame] = []
-    fixed_ids = set()
-    for mp in mps:
-        for k in mp.observations:
-            if k.mnId not in local_ids and k.mnId not in fixed_ids \
-                    and not k.is_bad():
-                fixed_ids.add(k.mnId)
-                fixed.append(k)
-    kfs = local + fixed
-    if len(kfs) < 2 or not mps:
-        return
-    kf_index = {k.mnId: i for i, k in enumerate(kfs)}
-    mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
+    with profiler.timer("lba.gather"):
+        local = [kf] + [k for k in kf.ordered_connected if not k.is_bad()]
+        local_ids = {k.mnId for k in local}
+        mps: List[MapPoint] = []
+        seen = set()
+        for k in local:
+            for mp in k.map_points:
+                if mp is not None and not mp.is_bad() and mp.mnId not in seen:
+                    seen.add(mp.mnId)
+                    mps.append(mp)
+        fixed: List[KeyFrame] = []
+        fixed_ids = set()
+        for mp in mps:
+            for k in mp.observations:
+                if k.mnId not in local_ids and k.mnId not in fixed_ids \
+                        and not k.is_bad():
+                    fixed_ids.add(k.mnId)
+                    fixed.append(k)
+        kfs = local + fixed
+        if len(kfs) < 2 or not mps:
+            return
+        kf_index = {k.mnId: i for i, k in enumerate(kfs)}
+        mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
 
-    states = _body_states(kfs, rig)
-    points = jnp.asarray(np.stack([mp.pos for mp in mps]))
-    r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps, mp_index)
-    c_idx, c_w, _ = _gather_colines(wmap, mp_index)
-    prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w)
+        with profiler.timer("lba.gather.states"):
+            states = _body_states(kfs, rig)
+            points = jnp.asarray(np.stack([mp.pos for mp in mps]))
+        with profiler.timer("lba.gather.obs"):
+            r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps,
+                                                    mp_index)
+            c_idx, c_w, _ = _gather_colines(wmap, mp_index)
+        with profiler.timer("lba.gather.pad"):
+            prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w)
 
-    kf_dof = np.zeros((len(kfs), 15), bool)
-    kf_dof[: len(local), :6] = True
-    # origin KF stays fixed
-    for i, k in enumerate(local):
-        if wmap.kf_origin is not None and k.mnId == wmap.kf_origin.mnId:
-            kf_dof[i] = False
-    mp_free = np.ones(len(mps), bool)
+        kf_dof = np.zeros((len(kfs), 15), bool)
+        kf_dof[: len(local), :6] = True
+        # origin KF stays fixed
+        for i, k in enumerate(local):
+            if wmap.kf_origin is not None and k.mnId == wmap.kf_origin.mnId:
+                kf_dof[i] = False
+        mp_free = np.ones(len(mps), bool)
 
     opts = BAOptions(iters=iters, lambda0=100.0, reproj_kernel="cauchy")
-    st, pts, info = _padded_solve(states, points, prob, kf_dof,
-                                  np.asarray(mp_free), rig, opts,
-                                  abort_check=abort_check)
+    coarse = _coarse_buckets()
+    bucket = (f"lba.solve.{_pow2(len(kfs), lo=16 if coarse else 4)}"
+              f"x{_pow2(len(mps), lo=512 if coarse else 128)}"
+              f"x{prob.r_kf.shape[0]}x{prob.c_idx.shape[0]}")
+    with profiler.timer(bucket), profiler.timer("lba.solve"):
+        st, pts, info = _padded_solve(states, points, prob, kf_dof,
+                                      np.asarray(mp_free), rig, opts,
+                                      abort_check=abort_check)
 
-    _apply_outlier_pass(info, refs)
-    free = kf_dof.any(axis=1)
-    _write_back_poses(kfs, st, rig, free, velocities=False)
-    pts_np = np.asarray(pts)
-    for j, mp in enumerate(mps):
-        if not mp.is_bad():
-            mp.pos = pts_np[j].copy()
-            mp.update_normal_and_depth()
-    _coline_edge_cleanup(wmap, mps)
-    wmap.info_map_change()
+    with profiler.timer("lba.apply"):
+        with profiler.timer("lba.apply.fetch"):
+            # ONE pipelined device_get for everything the host post-pass
+            # reads: separate blocking np.asarray calls each pay a full
+            # link round trip (profiled: 90+180 ms per local BA)
+            st, pts, chi2, depth = jax.device_get(
+                (st, pts, info["obs_chi2"], info["obs_depth"]))
+            info = dict(info, obs_chi2=chi2, obs_depth=depth)
+        with profiler.timer("lba.apply.outlier"):
+            _apply_outlier_pass(info, refs)
+        with profiler.timer("lba.apply.poses"):
+            free = kf_dof.any(axis=1)
+            _write_back_poses(kfs, st, rig, free, velocities=False)
+        with profiler.timer("lba.apply.points"):
+            pts_np = np.asarray(pts)
+            for j, mp in enumerate(mps):
+                if not mp.is_bad():
+                    mp.pos = pts_np[j].copy()
+                    mp.update_normal_and_depth()
+        with profiler.timer("lba.apply.colines"):
+            _coline_edge_cleanup(wmap, mps)
+        wmap.info_map_change()
 
 
 def local_inertial_ba(kf: KeyFrame, wmap: Map, b_large: bool = False,
@@ -476,9 +552,14 @@ def local_inertial_ba(kf: KeyFrame, wmap: Map, b_large: bool = False,
                                   np.asarray(mp_free), rig, opts,
                                   abort_check=abort_check)
 
+    # one pipelined device_get for the whole host post-pass (see the
+    # visual LBA above)
+    st, pts, chi2_np, depth_np = jax.device_get(
+        (st, pts, info["obs_chi2"], info["obs_depth"]))
+    info = dict(info, obs_chi2=chi2_np, obs_depth=depth_np)
     # depth-aware chi2 (close = tracked depth < 10, :743-750); we use the
     # optimized depth as the closeness proxy
-    depth = np.asarray(info["obs_depth"])[: len(refs)]
+    depth = depth_np[: len(refs)]
     close = depth < 10.0
     _apply_outlier_pass(info, refs, close_depth_aware=True, close_flags=close)
     free = kf_dof.any(axis=1)
@@ -527,6 +608,7 @@ def global_bundle_adjustment(wmap: Map, iters: int = 20, loop_kf: int = 0,
                                   np.ones(len(mps), bool), rig, opts,
                                   abort_check=abort_check, mesh=mesh)
 
+    st, pts = jax.device_get((st, pts))  # one pipelined fetch
     R = np.asarray(st.R)
     t = np.asarray(st.t)
     pts_np = np.asarray(pts)
@@ -595,6 +677,7 @@ def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
                                   np.ones(len(mps), bool), rig, opts,
                                   abort_check=abort_check, mesh=mesh)
 
+    st, pts = jax.device_get((st, pts))  # one pipelined fetch
     pts_np = np.asarray(pts)
     with guard:
         if loop_kf == 0:

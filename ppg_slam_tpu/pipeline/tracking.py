@@ -18,6 +18,7 @@ from typing import List, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..estimator.pose_opt import (
@@ -702,6 +703,9 @@ class Tracking:
         Rf, tf, inlier, n_in = pose_optimization(
             jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw), jnp.asarray(X),
             jnp.asarray(uv), jnp.asarray(valid), self.rig.cam)
+        # ONE pipelined fetch for everything the host reads: separate
+        # blocking fetches each pay a full link round trip on the tunnel
+        Rf, tf, inlier, n_in = jax.device_get((Rf, tf, inlier, n_in))
         frame.set_pose(np.asarray(Rf), np.asarray(tf))
         frame.has_pose = True
         inl = np.asarray(inlier)
@@ -785,13 +789,16 @@ class Tracking:
             jnp.asarray(valid), jnp.asarray(close),
             jnp.asarray(self.rig.Rcb), jnp.asarray(self.rig.tcb),
             self.rig.cam, fix_prev=fix_prev)
+        # ONE pipelined fetch for everything the host reads below
+        c, inlier, n_in, prior_H = jax.device_get(
+            (c, inlier, n_in, new_prior.H))
         frame.set_imu_pose_velocity(np.asarray(c.R), np.asarray(c.t),
                                     np.asarray(c.v))
         frame.bias = np.concatenate([np.asarray(c.bg), np.asarray(c.ba)])
         frame.has_pose = True
         frame.prior = dict(R=np.asarray(c.R), t=np.asarray(c.t),
                            v=np.asarray(c.v), bg=np.asarray(c.bg),
-                           ba=np.asarray(c.ba), H=np.asarray(new_prior.H))
+                           ba=np.asarray(c.ba), H=np.asarray(prior_H))
         inl = np.asarray(inlier)
         for k, (i, mp) in enumerate(matched):
             frame.outlier[i] = not bool(inl[k])
@@ -945,9 +952,8 @@ class Tracking:
 
     def search_local_points(self) -> None:
         frame = self.current
-        for mp in self.local_points:
-            if not mp.is_bad():
-                frame.check_in_frustum(mp, 0.5)
+        frame.check_in_frustum_batch(
+            [mp for mp in self.local_points if not mp.is_bad()], 0.5)
         matcher = self.matcher_cls(self.rig.cam, 0.8)
         th = 10
         if self.map.imu_initialized:

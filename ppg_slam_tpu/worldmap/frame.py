@@ -60,9 +60,15 @@ class PoseState:
     def set_pose(self, Rcw: np.ndarray, tcw: np.ndarray) -> None:
         self.Rcw = np.asarray(Rcw, np.float32).copy()
         self.tcw = np.asarray(tcw, np.float32).copy()
+        self._cc = None
 
     def camera_center(self) -> np.ndarray:
-        return (-self.Rcw.T @ self.tcw).astype(np.float32)
+        # cached: hot in per-frame frustum checks and per-point
+        # normal/depth updates (invalidated by every pose setter)
+        cc = getattr(self, "_cc", None)
+        if cc is None:
+            cc = self._cc = (-self.Rcw.T @ self.tcw).astype(np.float32)
+        return cc
 
     # -- IMU (body) pose -----------------------------------------------------
     def set_imu_pose_velocity(self, Rwb, twb, v) -> None:
@@ -75,6 +81,7 @@ class PoseState:
         tbw = -Rbw @ twb
         self.Rcw = (rig.Rcb @ Rbw).astype(np.float32)
         self.tcw = (rig.Rcb @ tbw + rig.tcb).astype(np.float32)
+        self._cc = None
         self.velocity = np.asarray(v, np.float32).copy()
 
     def imu_rotation(self) -> np.ndarray:
@@ -176,6 +183,51 @@ class Frame(PoseState):
         mp.track_view_cos = view_cos
         mp.increase_visible()
         return True
+
+    def check_in_frustum_batch(self, mps, view_cos_limit: float) -> None:
+        """Vectorized check_in_frustum over a list of map points — identical
+        semantics (Frame::isInFrustum, Frame.cpp), one numpy pass instead of
+        per-point Python math (the per-frame local-map loop runs this over
+        hundreds of points on the tracking critical path)."""
+        if not mps:
+            return
+        P = np.stack([mp.pos for mp in mps]).astype(np.float32)
+        nrm = np.stack([mp.normal for mp in mps]).astype(np.float32)
+        dmin = np.fromiter((mp.min_distance_invariance() for mp in mps),
+                           np.float32, len(mps))
+        dmax = np.fromiter((mp.max_distance_invariance() for mp in mps),
+                           np.float32, len(mps))
+        Pc = P @ self.Rcw.T + self.tcw
+        z = Pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            uv = self.rig.cam.project_np(Pc)
+        min_x, max_x, min_y, max_y = image_bounds(self.rig.cam)
+        po = P - self.camera_center()
+        dist = np.linalg.norm(po, axis=1)
+        nn = np.linalg.norm(nrm, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            view_cos = np.where(nn > 1e-9,
+                                np.einsum("ij,ij->i", po, nrm)
+                                / np.maximum(dist * nn, 1e-12), 1.0)
+        ok = ((z >= 0.0)
+              & (uv[:, 0] >= min_x) & (uv[:, 0] < max_x)
+              & (uv[:, 1] >= min_y) & (uv[:, 1] < max_y)
+              & (dist >= dmin) & (dist <= dmax)
+              & (view_cos >= view_cos_limit)
+              & np.isfinite(uv).all(axis=1))
+        for k, mp in enumerate(mps):
+            if ok[k]:
+                mp.track_in_view = True
+                mp.track_proj_x = float(uv[k, 0])
+                mp.track_proj_y = float(uv[k, 1])
+                mp.track_depth = float(dist[k])
+                mp.track_view_cos = float(view_cos[k])
+                mp.increase_visible()
+            else:
+                mp.track_in_view = False
+                mp.track_proj_x = -1.0
+                mp.track_proj_y = -1.0
+                mp.track_depth = -1.0
 
     def features_in_area(self, x, y, r) -> List[int]:
         return self.grid.features_in_area(x, y, r)
