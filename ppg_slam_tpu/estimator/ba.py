@@ -90,21 +90,25 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
         N = _pow2(n, lo=16 if coarse else 4)
         M = _pow2(m, lo=512 if coarse else 128)
     if N != n:
+        # numpy padding: device-side concatenates compile one program per
+        # (n -> N) shape pair — states/points arrive as numpy from the
+        # host gatherers precisely so this stays compile-free
         eye = np.broadcast_to(np.eye(3, dtype=np.float32), (N - n, 3, 3))
         z = np.zeros((N - n, 3), np.float32)
+        cat = (np.concatenate if isinstance(states.R, np.ndarray)
+               else jnp.concatenate)
         states = KFStates(
-            jnp.concatenate([states.R, jnp.asarray(eye)]),
-            jnp.concatenate([states.t, jnp.asarray(z)]),
-            jnp.concatenate([states.v, jnp.asarray(z)]),
-            jnp.concatenate([states.bg, jnp.asarray(z)]),
-            jnp.concatenate([states.ba, jnp.asarray(z)]))
+            cat([states.R, eye]), cat([states.t, z]), cat([states.v, z]),
+            cat([states.bg, z]), cat([states.ba, z]))
         kf_dof = np.concatenate([kf_dof, np.zeros((N - n, 15), bool)])
     if M != m:
         pts_pad = np.tile(np.float32([0.0, 0.0, 1.0]), (M - m, 1))
-        points = jnp.concatenate([points, jnp.asarray(pts_pad)])
+        cat = (np.concatenate if isinstance(points, np.ndarray)
+               else jnp.concatenate)
+        points = cat([points, pts_pad])
         mp_free = np.concatenate([mp_free, np.zeros(M - m, bool)])
-    args = (prob, jnp.asarray(kf_dof), jnp.asarray(mp_free),
-            jnp.asarray(rig.Rcb), jnp.asarray(rig.tcb), rig.cam)
+    args = (prob, np.asarray(kf_dof), np.asarray(mp_free),
+            rig.Rcb, rig.tcb, rig.cam)
     if mesh is not None:
         from ..parallel.sharded_ba import solve_ba_sharded
 
@@ -169,18 +173,26 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
                 info["aborted"] = True
                 break
         info["iters_run"] = done
-    return (KFStates(st.R[:n], st.t[:n], st.v[:n], st.bg[:n], st.ba[:n]),
-            pts[:m], info)
+    # Return the PADDED states/points: slicing device arrays here compiles
+    # one eager dynamic-slice program per (padded, real) shape pair (41 in
+    # a 48-frame run, profiled). Every consumer iterates host object lists
+    # (kfs / mps), so rows past n / m are simply never read.
+    return st, pts, info
 
 
 def _body_states(kfs: List[KeyFrame], rig: Rig) -> KFStates:
+    """Numpy-backed states: the jit call stages the H2D transfer; keeping
+    host data in numpy lets _padded_solve pad with np.concatenate (a
+    device-side concatenate compiles one XLA program PER padding shape —
+    ~40 such programs per tracked-map run, profiled)."""
     R = np.stack([kf.imu_rotation() for kf in kfs])
     t = np.stack([kf.imu_position() for kf in kfs])
     v = np.stack([kf.velocity for kf in kfs])
     bg = np.stack([kf.bias[:3] for kf in kfs])
     ba = np.stack([kf.bias[3:] for kf in kfs])
-    return KFStates(jnp.asarray(R), jnp.asarray(t), jnp.asarray(v),
-                    jnp.asarray(bg), jnp.asarray(ba))
+    return KFStates(R.astype(np.float32), t.astype(np.float32),
+                    v.astype(np.float32), bg.astype(np.float32),
+                    ba.astype(np.float32))
 
 
 def _write_back_poses(kfs: List[KeyFrame], states: KFStates, rig: Rig,
@@ -437,7 +449,7 @@ def local_bundle_adjustment(kf: KeyFrame, wmap: Map,
 
         with profiler.timer("lba.gather.states"):
             states = _body_states(kfs, rig)
-            points = jnp.asarray(np.stack([mp.pos for mp in mps]))
+            points = np.stack([mp.pos for mp in mps]).astype(np.float32)
         with profiler.timer("lba.gather.obs"):
             r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps,
                                                     mp_index)
@@ -534,7 +546,7 @@ def local_inertial_ba(kf: KeyFrame, wmap: Map, b_large: bool = False,
     mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
 
     states = _body_states(kfs, rig)
-    points = jnp.asarray(np.stack([mp.pos for mp in mps]))
+    points = np.stack([mp.pos for mp in mps]).astype(np.float32)
     r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps, mp_index)
     c_idx, c_w, _ = _gather_colines(wmap, mp_index)
     # temporal links over window + the link into the fixed previous KF
@@ -594,7 +606,7 @@ def global_bundle_adjustment(wmap: Map, iters: int = 20, loop_kf: int = 0,
         kf_index = {k.mnId: i for i, k in enumerate(kfs)}
         mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
         states = _body_states(kfs, rig)
-        points = jnp.asarray(np.stack([mp.pos for mp in mps]))
+        points = np.stack([mp.pos for mp in mps]).astype(np.float32)
         r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps, mp_index)
         c_idx, c_w, _ = _gather_colines(wmap, mp_index)
         prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w)
@@ -653,7 +665,7 @@ def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
         kf_index = {k.mnId: i for i, k in enumerate(kfs)}
         mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
         states = _body_states(kfs, rig)
-        points = jnp.asarray(np.stack([mp.pos for mp in mps]))
+        points = np.stack([mp.pos for mp in mps]).astype(np.float32)
         r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps, mp_index)
         c_idx, c_w, _ = _gather_colines(wmap, mp_index)
         links = _gather_links(kfs, kf_index)

@@ -249,8 +249,7 @@ def _mlpnp_gn(R, t, Xw, ns, iters: int = 5):
             dx = -np.linalg.solve(H, g)
         except np.linalg.LinAlgError:
             break
-        dR = np.asarray(so3.exp(jnp.asarray(dx[:3].astype(np.float32))),
-                        np.float64)
+        dR = so3.exp(dx[:3].astype(np.float32)).astype(np.float64)
         R = dR @ R
         t = dR @ t + dx[3:]
         if np.linalg.norm(dx) < 1e-10:
@@ -289,7 +288,7 @@ def _gn_refine(R, t, Xw, uv, fx, fy, cx, cy, iters=8):
         H = J.T @ J + 1e-6 * np.eye(6)
         g = J.T @ r
         dx = -np.linalg.solve(H, g)
-        dR = np.asarray(so3.exp(jnp.asarray(dx[:3].astype(np.float32))))
+        dR = so3.exp(dx[:3].astype(np.float32))
         R = (dR @ R).astype(np.float32)
         t = (dR @ t + dx[3:]).astype(np.float32)
     return R, t

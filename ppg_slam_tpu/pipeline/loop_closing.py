@@ -401,12 +401,12 @@ class LoopClosing:
         Sww = Twc.compose(Scw)
         tr = float(np.trace(Sww.R))
         valid_rot = np.isfinite(Sww.R).all() and -1.0 <= tr <= 3.0
-        phi = (np.asarray(so3.log(jnp.asarray(Sww.R.astype(np.float32))))
+        phi = (so3.log(Sww.R.astype(np.float32))
                if valid_rot else np.zeros(3))
         if abs(phi[0]) < 0.008 and abs(phi[1]) < 0.008 and abs(phi[2]) < 0.349:
             if self.map.inertial_ba1:
                 phi_yaw = np.float32([0.0, 0.0, phi[2]])
-                R_new = np.asarray(so3.exp(jnp.asarray(phi_yaw)), np.float32)
+                R_new = so3.exp(phi_yaw).astype(np.float32)
                 Sww_new = Sim3T(R_new, Sww.t, 1.0)
                 Scw = Twc.inverse().compose(Sww_new)
             self.Slw = Scw

@@ -547,7 +547,9 @@ class Tracking:
 
         # two-view reconstruction on the matched pairs
         pairs = [(i, j) for i, j in enumerate(matches12) if j >= 0]
-        pad = _pow2(len(pairs), lo=128)
+        # lo=512 >= the 500-keypoint cap: ONE compiled program for every
+        # frame (each extra pow2 bucket costs a multi-second XLA compile)
+        pad = _pow2(len(pairs), lo=512)
         p1 = np.zeros((pad, 2), np.float32)
         p2 = np.zeros((pad, 2), np.float32)
         valid = np.zeros(pad, bool)
@@ -692,7 +694,8 @@ class Tracking:
                    if mp is not None]
         if len(matched) < 3:
             return 0
-        pad = _pow2(len(matched), lo=128)
+        # lo=512 >= the 500-keypoint cap -> single pose-opt bucket
+        pad = _pow2(len(matched), lo=512)
         X = np.zeros((pad, 3), np.float32)
         uv = np.zeros((pad, 2), np.float32)
         valid = np.zeros(pad, bool)
@@ -722,7 +725,8 @@ class Tracking:
     def _run_pose_inertial_impl(self, frame: Frame, fix_prev: bool) -> int:
         matched = [(i, mp) for i, mp in enumerate(frame.map_points)
                    if mp is not None]
-        pad = _pow2(len(matched), lo=128)
+        # lo=512 >= the 500-keypoint cap -> single VI-filter bucket
+        pad = _pow2(len(matched), lo=512)
         X = np.zeros((pad, 3), np.float32)
         uv = np.zeros((pad, 2), np.float32)
         valid = np.zeros(pad, bool)
@@ -1131,8 +1135,8 @@ class Tracking:
                 if nv < 1e-8:
                     Rwg = np.eye(3, dtype=np.float32)
                 else:
-                    Rwg = np.asarray(so3.exp(jnp.asarray(
-                        (v * ang / nv).astype(np.float32))), np.float32)
+                    Rwg = so3.exp(
+                        (v * ang / nv).astype(np.float32)).astype(np.float32)
         else:
             Rwg = np.eye(3, dtype=np.float32)
 

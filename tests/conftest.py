@@ -10,9 +10,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # the session default is the real TPU (axon)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # XLA:CPU compile time dominates the suite on the 1-core CI host;
+    # -O0 codegen cut a 3-module sample from 144 s to 93 s, all green.
+    # Tests assert numerics vs scipy/OpenCV/TorchScript, not wall time.
+    flags = flags + " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = flags
 
 import sys
 
@@ -37,24 +41,35 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 import pytest
 
 
-_MODULES_SINCE_CLEAR = [0]
+_COMPILES_SINCE_CLEAR = [0]
+
+
+def _count_backend_compile(key: str, *a, **kw) -> None:
+    if key == "/jax/core/compile/backend_compile_duration":
+        _COMPILES_SINCE_CLEAR[0] += 1
+
+
+jax.monitoring.register_event_duration_secs_listener(_count_backend_compile)
 
 
 @pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_between_modules():
+def _bound_jax_compiler_state():
     """XLA:CPU segfaults inside backend_compile_and_load after several
-    hundred in-process compilations (reproduced twice at the same point of
-    the full suite; never in a single-module run). Dropping the compiled-
-    executable caches periodically keeps the per-process compiler state
-    bounded. Clearing every 3rd module (instead of every module) keeps the
-    crash margin while letting shared programs (SE3 ops, pose-opt buckets,
-    BA solves) survive across neighboring modules — measured a multi-minute
-    saving on the 1-core host."""
+    hundred in-process COMPILATIONS (reproduced twice at the same point of
+    the full suite; never in a single-module run). The earlier mitigation
+    (clear_caches every module / every 3rd module) capped compiler state by
+    recompiling everything — which made recompilation itself the dominant
+    suite cost: the tracked-map fixture modules (loop closing, reloc,
+    viewer, pipeline e2e, serialize) share the same LBA / pose-opt /
+    preintegration programs and each paid the full compile bill again.
+    Clear on the actual risk signal instead — the backend-compile COUNT
+    since the last clear (counted via jax.monitoring) — so shared programs
+    survive across modules while compiler state stays inside the margin
+    that was green under the old policy."""
     yield
-    _MODULES_SINCE_CLEAR[0] += 1
-    if _MODULES_SINCE_CLEAR[0] >= 3:
-        _MODULES_SINCE_CLEAR[0] = 0
+    if _COMPILES_SINCE_CLEAR[0] >= 200:
         jax.clear_caches()
+        _COMPILES_SINCE_CLEAR[0] = 0
 
 
 @pytest.fixture(autouse=True, scope="module")

@@ -61,8 +61,12 @@ class TestShardedEqualsSingle:
             np.asarray(info_s["obs_chi2"])[:n_obs],
             np.asarray(info_r["obs_chi2"])[:n_obs], atol=1e-2)
 
+    @pytest.mark.slow
     def test_realistic_window_shape(self):
-        """VERDICT r1 item 4: ≥50 KF / 5k MP / 40k obs with colines."""
+        """VERDICT r1 item 4: ≥50 KF / 5k MP / 40k obs with colines.
+        Slow lane: two full solves at GBA scale take minutes on the 1-core
+        CI host; the same sharded==single property is covered at small
+        shapes by test_small_vi_problem in the default lane."""
         (st_r, pts_r, info_r), (st_s, pts_s, info_s), _ = _solve_both(
             n_kf=50, n_mp=5120, n_obs=40960, n_col=512, iters=2, seed=1)
         hist = np.asarray(info_r["chi2_hist"])

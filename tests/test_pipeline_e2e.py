@@ -48,6 +48,12 @@ def run_sequence():
         states.append(tracking.state)
         if tracking.state == OK and frame.has_pose:
             est[i] = frame.camera_center()
+    # donate the built map to later modules (tests/map_store.py): modules
+    # that only need *a* populated tracked map reuse it instead of paying
+    # another multi-minute pipeline build on the 1-core CI host
+    import map_store
+
+    map_store.put("straight", wmap, seq)
     return seq, tracking, wmap, est, states
 
 

@@ -13,7 +13,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-VOC_PATH = "/root/reference/Vocabulary/voc_euroc_9x3.gz"
+VOC_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets", "voc_euroc_9x3.npz")
 BLIND_START, BLIND_END = 70, 175  # no features for 5.25 s: outlasts the
 # IMU coast window (5 s), forcing LOST -> relocalization
 

@@ -35,6 +35,13 @@ def build_small_map(n_frames=40):
 
 @pytest.fixture(scope="module")
 def small_map():
+    # reuse the pipeline-e2e module's tracked map when the full suite runs
+    # (fresh deserialized copy); standalone runs build their own
+    import map_store
+
+    wmap = map_store.get_map("straight")
+    if wmap is not None:
+        return wmap
     wmap, _ = build_small_map()
     return wmap
 

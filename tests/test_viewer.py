@@ -51,7 +51,10 @@ class TestRender:
 @pytest.fixture(scope="module")
 def tracked_sequence(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("renders"))
-    seq = SyntheticSequence(n_frames=60)
+    # 48 frames: 3 render_every=20 ticks, a tracked map, and IMU init
+    # (imu_ini_time=2.0 s = frame 40) for the top-view test — the shortest
+    # build that covers every viewer assertion
+    seq = SyntheticSequence(n_frames=48)
     rig = Rig(CAM, freq=200.0)
     wmap = Map(rig)
     Map.imu_ini_time = 2.0
