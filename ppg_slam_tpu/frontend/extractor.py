@@ -217,7 +217,11 @@ class PPGExtractor:
                 kp_score=kp_score, n_kp=jnp.sum(kp_valid),
                 kp_un=kp_un, kp_ok=kp_ok,
                 ci=sel["ci"].astype(jnp.int16), cj=sel["cj"].astype(jnp.int16),
-                n_cand=sel["n_cand"], good=good, lscore=lscore,
+                # f16 line scores: halves the largest candidate array on the
+                # D2H link (scores are [0,1] weights — 3 significant digits
+                # is far inside the harmonic edge-weight tolerance)
+                n_cand=sel["n_cand"], good=good,
+                lscore=lscore.astype(jnp.float16),
                 saturated=sel["saturated"] | overflow,
             )
             if is_fisheye:  # pinhole: mPos is overwritten by mPosUn anyway

@@ -27,7 +27,9 @@ def umeyama_align(est: np.ndarray, gt: np.ndarray, with_scale=True):
 
 @pytest.fixture(scope="module")
 def run_sequence():
-    seq = SyntheticSequence(n_frames=120)
+    # 100 frames: init lands ~frame 12, leaving ~85 OK frames — well above
+    # every assertion margin at ~5/6 of the 120-frame build cost
+    seq = SyntheticSequence(n_frames=100)
     rig = Rig(CAM, freq=200.0)
     wmap = Map(rig)
     Map.imu_ini_time = 2.0  # speed up VIBA scheduling in the test
