@@ -42,16 +42,31 @@ def _pow2(n: int, lo: int = 64) -> int:
 
 @functools.lru_cache(None)
 def _coarse_buckets() -> bool:
-    """On an accelerator backend every new (N, M, O, C) bucket combination
-    costs a multi-second XLA compile (profiled: 8-12 distinct local-BA
-    buckets over one growing 48-frame run dominated live latency), so pad
-    to coarse floors there — a 2x-padded one-hot assembly costs ~2 ms more
-    device time, two orders of magnitude below one compile. The CPU test
-    backend keeps fine buckets: there compute scales with the padded shape
-    and compiles are cheap."""
+    """Every new (N, M, O, C) bucket combination costs a multi-second XLA
+    compile on EVERY backend (profiled: 8-12 distinct local-BA buckets over
+    one growing 48-frame run dominated live latency on TPU; on the 1-core
+    CPU CI host each local-BA bucket compiles in ~11 s and dominated the
+    tracked-fixture test modules), so pad to coarse floors everywhere: a
+    2x-padded assembly costs ~2 ms more device time on TPU / well under a
+    second on CPU, orders of magnitude below one compile — and a single
+    shared bucket lets all pipeline modules in one test process reuse one
+    compiled program. PPG_FINE_BUCKETS=1 restores fine pow2 buckets (A/B
+    debugging)."""
+    import os
+
+    return not os.environ.get("PPG_FINE_BUCKETS")
+
+
+@functools.lru_cache(None)
+def _obs_floor() -> int:
+    """Observation-slot floor. On accelerators 4096 (bench-tuned: the live
+    LBA window is ~4-8k obs and device time scales with the padded shape);
+    on the CPU test backend 8192, so a whole test process — local windows
+    AND the IMU-init/GBA solves — compiles exactly ONE solve_ba obs bucket
+    (the padded-shape runtime cost is well under one ~11 s compile)."""
     import jax
 
-    return jax.default_backend() != "cpu"
+    return 4096 if jax.default_backend() != "cpu" else 8192
 
 
 def _sqrt_info_psd(M: np.ndarray) -> np.ndarray:
@@ -282,7 +297,7 @@ def _np_problem_template(O: int, C: int, L: int, P: int, B: int):
 def _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w, links=None, priors=None,
                  bias_priors=None) -> BAProblem:
     coarse = _coarse_buckets()
-    O = _pow2(len(r_kf), lo=4096 if coarse else 64)
+    O = _pow2(len(r_kf), lo=_obs_floor() if coarse else 64)
     C = _pow2(len(c_idx), lo=256 if coarse else 16)
     L = _pow2(len(links[0]) if links else 1, lo=64 if coarse else 4)
     P = 1

@@ -1207,6 +1207,28 @@ class Tracking:
             data["b0"].append(kf.preintegrated.b.copy())
             data["sqi"].append(_sqrtm_psd_inv(C[:9, :9]))
             data["dt"].append(np.float32(st.dT))
+        # pow2 buckets on BOTH the state count and the link count: every
+        # fresh (n, L) shape pair is a new XLA program (the temporal chain
+        # grows by ~20 KFs between ScaleRefinement calls), while padded
+        # slots/links are exactly masked — benign-value links (dR=I, sqi=I)
+        # keep the jacfwd trace finite, valid=False zeroes r and J, and
+        # padded velocity columns have zero gradient so damped LM leaves
+        # them at zero.
+        Np = _pow2(len(kfs), lo=16)
+        Lp = _pow2(L, lo=16)
+        if Lp != L:
+            pad = Lp - L
+            data["kf1"].extend([0] * pad)
+            data["kf2"].extend([0] * pad)
+            for _ in range(pad):
+                data["dR"].append(np.eye(3, dtype=np.float32))
+                data["dV"].append(np.zeros(3, np.float32))
+                data["dP"].append(np.zeros(3, np.float32))
+                for nm in ("JRg", "JVg", "JVa", "JPg", "JPa"):
+                    data[nm].append(np.zeros((3, 3), np.float32))
+                data["b0"].append(np.zeros(6, np.float32))
+                data["sqi"].append(np.eye(9, dtype=np.float32))
+                data["dt"].append(np.float32(1.0))
         prob = InertialInitProblem(
             kf1=jnp.asarray(np.asarray(data["kf1"], np.int32)),
             kf2=jnp.asarray(np.asarray(data["kf2"], np.int32)),
@@ -1221,10 +1243,17 @@ class Tracking:
             b0=jnp.asarray(np.stack(data["b0"])),
             sqi=jnp.asarray(np.stack(data["sqi"])),
             dt=jnp.asarray(np.asarray(data["dt"])),
-            valid=jnp.ones(L, bool))
+            valid=jnp.arange(Lp) < L)
         R = np.stack([kf.imu_rotation() for kf in kfs])
         t = np.stack([kf.imu_position() for kf in kfs])
         v = np.stack([kf.velocity for kf in kfs])
+        if Np != len(kfs):
+            pad = Np - len(kfs)
+            R = np.concatenate(
+                [R, np.broadcast_to(np.eye(3, dtype=R.dtype),
+                                    (pad, 3, 3))])
+            t = np.concatenate([t, np.zeros((pad, 3), t.dtype)])
+            v = np.concatenate([v, np.zeros((pad, 3), v.dtype)])
         return prob, (R, t, v)
 
     def _update_frame_imu(self, scale: float) -> None:
