@@ -33,6 +33,10 @@ def run(dataset_kind: str, voc: str, settings: str, weights: str,
     from ..datasets import load_euroc, load_tumvi, load_uma
     from ..pipeline import System
 
+    from ..utils import profiler
+
+    profiler.reset()  # per-run stage stats (the process-global profiler
+    #                   otherwise accumulates across runs in one process)
     loader = {"euroc": load_euroc, "tumvi": load_tumvi, "uma": load_uma}[
         dataset_kind]
     images, stamps, imu = loader(data)

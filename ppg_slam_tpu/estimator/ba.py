@@ -69,6 +69,18 @@ def _obs_floor() -> int:
     return 4096 if jax.default_backend() != "cpu" else 8192
 
 
+@functools.lru_cache(None)
+def _kf_mp_floors() -> tuple:
+    """(KF-slot, MP-slot) floors. Accelerators keep the bench-tuned 16/512
+    local-window floors; the CPU test backend floors at 64/1024 so the
+    GBA/FIBA solves of a growing map (N crossing 16->32->64, M crossing
+    512->1024 over a 100-frame fixture) stay in ONE compiled program —
+    each crossing otherwise recompiles per robust-kernel flavor (~11 s)."""
+    import jax
+
+    return (16, 512) if jax.default_backend() != "cpu" else (64, 1024)
+
+
 def _sqrt_info_psd(M: np.ndarray) -> np.ndarray:
     """PSD-projected inverse square root used for whitening (the reference
     PSD-projects Info = C^-1, G2oEdge.cpp EdgeInertial ctor)."""
@@ -102,8 +114,9 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
         N, M = n, m
     else:
         coarse = _coarse_buckets()
-        N = _pow2(n, lo=16 if coarse else 4)
-        M = _pow2(m, lo=512 if coarse else 128)
+        kf_lo, mp_lo = _kf_mp_floors()
+        N = _pow2(n, lo=kf_lo if coarse else 4)
+        M = _pow2(m, lo=mp_lo if coarse else 128)
     if N != n:
         # numpy padding: device-side concatenates compile one program per
         # (n -> N) shape pair — states/points arrive as numpy from the
@@ -482,8 +495,9 @@ def local_bundle_adjustment(kf: KeyFrame, wmap: Map,
 
     opts = BAOptions(iters=iters, lambda0=100.0, reproj_kernel="cauchy")
     coarse = _coarse_buckets()
-    bucket = (f"lba.solve.{_pow2(len(kfs), lo=16 if coarse else 4)}"
-              f"x{_pow2(len(mps), lo=512 if coarse else 128)}"
+    kf_lo, mp_lo = _kf_mp_floors()
+    bucket = (f"lba.solve.{_pow2(len(kfs), lo=kf_lo if coarse else 4)}"
+              f"x{_pow2(len(mps), lo=mp_lo if coarse else 128)}"
               f"x{prob.r_kf.shape[0]}x{prob.c_idx.shape[0]}")
     with profiler.timer(bucket), profiler.timer("lba.solve"):
         st, pts, info = _padded_solve(states, points, prob, kf_dof,

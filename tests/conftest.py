@@ -45,18 +45,53 @@ import pytest
 
 
 _COMPILES_SINCE_CLEAR = [0]
+_COMPILES_TOTAL = [0]
 
 
 def _count_backend_compile(key: str, *a, **kw) -> None:
     if key == "/jax/core/compile/backend_compile_duration":
         _COMPILES_SINCE_CLEAR[0] += 1
+        _COMPILES_TOTAL[0] += 1
 
 
 jax.monitoring.register_event_duration_secs_listener(_count_backend_compile)
 
 
+# Module order: group modules that SHARE compiled programs and run them
+# before the compile-churning unit modules, so the ~300-compile cache
+# clear (below) never lands between two modules that would otherwise reuse
+# each other's solve/pose/preintegration programs (observed: one unlucky
+# clear boundary before the tracked-sequence modules costs minutes of
+# recompiles). Order: solve-heavy pipeline modules (share solve_ba /
+# pose-opt / preintegration programs and the tracked-map store) ->
+# extractor-heavy modules (share the front-end program) -> unit modules
+# (many one-use programs; clears are harmless there).
+_MODULE_ORDER = [
+    # group A: pipeline / solver programs (+ map_store producer before
+    # consumers: test_pipeline_e2e donates to test_serialize/test_viewer)
+    "test_async", "test_ba_entry", "test_pipeline_e2e",
+    "test_serialize", "test_viewer", "test_loop_closing",
+    "test_relocalization", "test_profiling",
+    # group B: front-end extractor programs (cli_e2e also reuses group A's
+    # solve programs — keep A+B under one clear-free span)
+    "test_extractor", "test_frontend_decode", "test_cli_e2e",
+    "test_device_match", "test_prefetch", "test_fisheye_e2e",
+    "test_real_extractor_pipeline", "test_ppg_net",
+    # test_parallel is a compile BOMB (~290 programs: 8-device shard_map
+    # solves) that trips the cache clear below — run it after every module
+    # that shares programs, so the clear wipes nothing anyone reuses
+    "test_parallel",
+]
+
+
+def pytest_collection_modifyitems(session, config, items):
+    rank = {m: i for i, m in enumerate(_MODULE_ORDER)}
+    items.sort(key=lambda it: rank.get(it.module.__name__,
+                                       len(_MODULE_ORDER)))
+
+
 @pytest.fixture(autouse=True, scope="module")
-def _bound_jax_compiler_state():
+def _bound_jax_compiler_state(request):
     """XLA:CPU segfaults inside backend_compile_and_load after several
     hundred in-process COMPILATIONS (reproduced twice at the same point of
     the full suite; never in a single-module run). The earlier mitigation
@@ -70,7 +105,16 @@ def _bound_jax_compiler_state():
     survive across modules while compiler state stays inside the margin
     that was green under the old policy."""
     yield
-    if _COMPILES_SINCE_CLEAR[0] >= 200:
+    cleared = _COMPILES_SINCE_CLEAR[0] >= 300
+    try:  # per-module compile telemetry (pytest captures stderr; use a file)
+        with open("/tmp/ppg_compile_counts.log", "a") as f:
+            f.write(f"{request.module.__name__}: "
+                    f"total={_COMPILES_TOTAL[0]} "
+                    f"since_clear={_COMPILES_SINCE_CLEAR[0]}"
+                    f"{' CLEAR' if cleared else ''}\n")
+    except OSError:
+        pass
+    if cleared:
         jax.clear_caches()
         _COMPILES_SINCE_CLEAR[0] = 0
 
