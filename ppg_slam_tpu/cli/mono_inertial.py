@@ -27,7 +27,8 @@ def run(dataset_kind: str, voc: str, settings: str, weights: str,
         render_dir: str = "", render_every: int = 10,
         loop_closing: bool = True, eval_gt: str = "",
         async_frontend: bool = False, threaded_gba: bool = False,
-        serving: bool = False) -> dict:
+        serving: bool = False, save_map: str = "",
+        load_map: str = "") -> dict:
     import cv2
 
     from ..datasets import load_euroc, load_tumvi, load_uma
@@ -50,7 +51,8 @@ def run(dataset_kind: str, voc: str, settings: str, weights: str,
                   active_loop_closing=loop_closing,
                   async_frontend=async_frontend, threaded_gba=threaded_gba,
                   desc_transfer="device" if serving else "f32",
-                  compute_dtype="bf16" if serving else "f32")
+                  compute_dtype="bf16" if serving else "f32",
+                  load_map_path=load_map or None)
     t_last_imu = -np.inf
     t_track = []
     lookahead = (slam.prefetcher.batch * slam.prefetcher.depth
@@ -91,7 +93,7 @@ def run(dataset_kind: str, voc: str, settings: str, weights: str,
             print(f"[{k}/{len(images)}] state={slam.state} "
                   f"kfs={slam.map.n_keyframes()} "
                   f"mps={slam.map.n_map_points()} track={dt*1e3:.1f}ms")
-    slam.shutdown(out_dir)
+    slam.shutdown(out_dir, save_map_path=save_map)
     arr = np.asarray(t_track)
     stats = dict(frames=len(arr), mean_ms=float(arr.mean() * 1e3),
                  median_ms=float(np.median(arr) * 1e3),
@@ -140,6 +142,11 @@ def main() -> None:
                          "(the reference's thread overlap)")
     ap.add_argument("--threaded-gba", action="store_true",
                     help="run loop-closure global BA on a background thread")
+    ap.add_argument("--save-map", default="",
+                    help="checkpoint the final map to this path")
+    ap.add_argument("--load-map", default="",
+                    help="resume from a saved map: tracking starts LOST "
+                         "and relocalizes into it")
     ap.add_argument("--serving", action="store_true",
                     help="TPU serving config: bf16 nets + device-resident "
                          "descriptors with device-side gated matching")
@@ -149,7 +156,8 @@ def main() -> None:
         realtime_factor=a.realtime_factor, render_dir=a.render_dir,
         render_every=a.render_every, loop_closing=not a.no_loop_closing,
         eval_gt=a.eval_gt, async_frontend=a.async_frontend,
-        threaded_gba=a.threaded_gba, serving=a.serving)
+        threaded_gba=a.threaded_gba, serving=a.serving,
+        save_map=a.save_map, load_map=a.load_map)
 
 
 if __name__ == "__main__":

@@ -80,14 +80,17 @@ class System:
                  async_frontend: bool = False, prefetch_batch: int = 4,
                  prefetch_depth: int = 2,
                  threaded_gba: bool = False,
-                 desc_transfer: str = "f32", compute_dtype: str = "f32"):
+                 desc_transfer: str = "f32", compute_dtype: str = "f32",
+                 load_map_path: Optional[str] = None):
         """async_frontend: overlap device extraction of future frames with
         host tracking of the current one (frontend/prefetch.py — the
         reference's thread overlap, System.cpp:106-116). threaded_gba: run
         loop-closure global BA on a background thread with kill/propagate
         (LoopClosing.cpp:1050). desc_transfer="device" + compute_dtype=
         "bf16" is the TPU serving configuration (device-side gated
-        matching)."""
+        matching). load_map_path: resume from a map saved by save_map() —
+        tracking starts LOST and relocalizes into the loaded map (the
+        reference has no persistence, SURVEY.md §5)."""
         s = load_settings(settings_path)
         cam = camera_from_settings(s)
         MapEdge.view_cos_th = float(s["view_cos_th"])
@@ -98,7 +101,12 @@ class System:
         voc = (Vocabulary.load(vocabulary_path)
                if vocabulary_path and os.path.exists(vocabulary_path)
                else None)
-        self.map = Map(rig, vocabulary=voc)
+        if load_map_path:
+            from ..worldmap.serialize import load_map
+
+            self.map = load_map(load_map_path, vocabulary=voc, rig=rig)
+        else:
+            self.map = Map(rig, vocabulary=voc)
         self.extractor = PPGExtractor(cam, weights_path,
                                       desc_transfer=desc_transfer,
                                       compute_dtype=compute_dtype)
@@ -120,6 +128,8 @@ class System:
                                           threaded=threaded_gba)
         self.tracking = Tracking(self.map, self.extractor,
                                  local_mapper=self.local_mapping)
+        if load_map_path:
+            self.tracking.resume_from_map()
         self.local_mapping.tracking = self.tracking
         self.loop_closing.local_mapper = self.local_mapping
         self.use_viewer = use_viewer
@@ -212,7 +222,17 @@ class System:
                         f"{twb[2]:.9f} {q[0]:.9f} {q[1]:.9f} {q[2]:.9f} "
                         f"{q[3]:.9f}\n")
 
-    def shutdown(self, out_dir: str = ".") -> None:
+    def save_map(self, path: str) -> None:
+        """Checkpoint the full map (worldmap/serialize.py); resume with
+        System(load_map_path=path)."""
+        from ..worldmap.serialize import save_map
+
+        with self.map.update_lock:
+            save_map(self.map, path)
+
+    def shutdown(self, out_dir: str = ".", save_map_path: str = "") -> None:
         self.save_trajectory(os.path.join(out_dir, "CameraTrajectory.txt"))
         self.save_keyframe_trajectory(
             os.path.join(out_dir, "KeyFrameTrajectory.txt"))
+        if save_map_path:
+            self.save_map(save_map_path)

@@ -98,6 +98,24 @@ class Tracking:
         self._dev_matcher = None
 
     # ------------------------------------------------------------------
+    def resume_from_map(self) -> None:
+        """Resume tracking against a pre-populated (loaded) map: start LOST
+        and relocalize into it instead of running monocular initialization.
+        The reference has no persistence at all (SURVEY.md §5); this is the
+        checkpoint/resume half of the rebuild's map serialization
+        (worldmap/serialize.py). Assumes the resumed feed's clock continues
+        the saved run's (same dataset epoch)."""
+        if self.map.n_keyframes() == 0:
+            return
+        kfs = sorted(self.map.all_keyframes(), key=lambda k: k.mnId)
+        self.last_kf = kfs[-1]
+        self.ref_kf = kfs[-1]
+        self.last_bias = kfs[-1].bias.copy()
+        self.preint_from_kf = Preintegrated(self.last_bias, self.rig.nga,
+                                            self.rig.nga_walk)
+        self.state = LOST
+
+    # ------------------------------------------------------------------
     def grab_imu(self, measurements: np.ndarray) -> None:
         """measurements rows: (ax, ay, az, wx, wy, wz, t)."""
         for m in np.atleast_2d(measurements):
@@ -501,7 +519,8 @@ class Tracking:
             frame.has_pose = True
             return True
         if not self.map_updated and frame.preint_frame is not None and \
-                frame.preint_frame.dT > 0:
+                frame.preint_frame.dT > 0 and self.last_frame is not None \
+                and self.last_frame.has_pose:
             lf = self.last_frame
             p = frame.preint_frame
             Rwb1 = lf.imu_rotation()

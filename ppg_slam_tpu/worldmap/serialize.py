@@ -58,6 +58,20 @@ def load_map(path: str, vocabulary=None, rig=None):
     world_map.vocabulary = vocabulary
     if rig is not None:
         world_map.rig = rig
+    if vocabulary is not None:
+        # Re-index place recognition: maps saved from a vocabulary-less run
+        # have no BoW vectors, so compute the missing ones from the stored
+        # keyframe descriptors and rebuild the inverted file — a loaded map
+        # is then immediately relocalizable (System(load_map=...)).
+        world_map.inverted_file = {}
+        for kf in sorted(world_map.keyframes, key=lambda k: k.mnId):
+            if not kf.bow_vec:
+                desc = kf.descriptors
+                if desc is None or not len(desc):
+                    continue
+                kf.bow_vec, kf.feat_vec = vocabulary.transform(desc)
+            for word in kf.bow_vec:
+                world_map.inverted_file.setdefault(word, []).append(kf)
 
     def bump(counter_name, module, ids):
         nxt = (max(ids) + 1) if ids else 0

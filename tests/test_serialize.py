@@ -105,3 +105,57 @@ def test_load_rejects_garbage(tmp_path):
     p.write_bytes(b"NOTAMAP00")
     with pytest.raises(ValueError):
         load_map(str(p))
+
+
+def test_resume_from_map_relocalizes(tmp_path):
+    """Checkpoint/RESUME (System(load_map_path=), CLI --load-map): load a
+    saved map with a vocabulary — the BoW inverted file is re-indexed on
+    load even though the map was built without one — start tracking LOST,
+    relocalize into the loaded map, and keep tracking without a reset."""
+    import map_store
+    from synthetic_sequence import SyntheticExtractor
+    from synthetic_world import CAM
+    from ppg_slam_tpu.bow import Vocabulary
+    from ppg_slam_tpu.pipeline.local_mapping import LocalMapping
+    from ppg_slam_tpu.pipeline.tracking import LOST, OK, Tracking
+    from ppg_slam_tpu.worldmap import Rig, load_map, save_map
+
+    voc_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "voc_euroc_9x3.npz")
+    if not os.path.exists(voc_path):
+        pytest.skip("vocabulary asset not available")
+    entry = map_store.STORE.get("straight")
+    p = tmp_path / "resume.ppgmap"
+    if entry is not None:  # full-suite run: reuse the donated e2e map
+        data, seq = entry
+        p.write_bytes(data)
+    else:  # standalone module run
+        wmap0, tr = build_small_map(60)
+        seq = tr.extractor.seq
+        save_map(wmap0, str(p))
+    wmap = load_map(str(p), vocabulary=Vocabulary.load(voc_path),
+                    rig=Rig(CAM, freq=200.0))
+    assert wmap.inverted_file, "BoW re-index on load must populate it"
+
+    # resume by replaying the tail of the ORIGINAL sequence (a continuing
+    # clock over already-mapped terrain)
+    start = seq.n_frames - 20
+    ex = SyntheticExtractor(seq)
+    ex.frame_idx = start
+    tracking = Tracking(wmap, ex)
+    tracking.local_mapper = LocalMapping(wmap, tracking=tracking)
+    tracking.resume_from_map()
+    assert tracking.state == LOST
+    n_kf0 = wmap.n_keyframes()
+
+    states = []
+    last_t = seq.frame_times[start - 1]
+    for i in range(start, seq.n_frames):
+        t = seq.frame_times[i]
+        tracking.grab_imu(seq.imu_between(last_t, t))
+        last_t = t
+        tracking.grab_image(np.zeros((2, 2), np.uint8), t)
+        states.append(tracking.state)
+    assert tracking.n_resets == 0, "resume must never reset the loaded map"
+    assert states[-1] == OK, states
+    assert wmap.n_keyframes() >= n_kf0
