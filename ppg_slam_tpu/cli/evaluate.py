@@ -34,14 +34,28 @@ def main(argv=None) -> int:
                     help="max stamp difference for association [s]")
     ap.add_argument("--json", action="store_true",
                     help="print one JSON line instead of a table")
+    ap.add_argument("--rpe", type=float, metavar="DELTA", default=0.0,
+                    help="also report translational RPE over DELTA-second "
+                         "windows (evo_rpe equivalent; local drift)")
     args = ap.parse_args(argv)
 
     res = evaluate_files(args.estimate, args.ground_truth,
                          with_scale=args.scale, max_diff=args.max_diff)
+    rpe = None
+    if args.rpe > 0:
+        from ..utils.evaluation import evaluate_files_rpe
+
+        rpe = evaluate_files_rpe(args.estimate, args.ground_truth,
+                                 delta=args.rpe, with_scale=args.scale,
+                                 max_diff=args.max_diff)
     if args.json:
-        print(json.dumps({"ate_rmse": res.rmse, "mean": res.mean,
-                          "median": res.median, "max": res.max,
-                          "pairs": res.n_pairs, "scale": res.scale}))
+        out = {"ate_rmse": res.rmse, "mean": res.mean,
+               "median": res.median, "max": res.max,
+               "pairs": res.n_pairs, "scale": res.scale}
+        if rpe is not None:
+            out["rpe_rmse"] = rpe.rmse
+            out["rpe_delta_s"] = args.rpe
+        print(json.dumps(out))
     else:
         print(f"ATE ({'Sim3' if args.scale else 'SE3'} alignment, "
               f"{res.n_pairs} pairs)")
@@ -51,6 +65,10 @@ def main(argv=None) -> int:
         print(f"  max     {res.max:.6f} m")
         if args.scale:
             print(f"  scale   {res.scale:.6f}")
+        if rpe is not None:
+            print(f"RPE trans ({args.rpe:g} s windows, {rpe.n_pairs} pairs)")
+            print(f"  rmse    {rpe.rmse:.6f} m")
+            print(f"  median  {rpe.median:.6f} m")
     return 0
 
 

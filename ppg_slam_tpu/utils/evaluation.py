@@ -124,3 +124,45 @@ def evaluate_files(est_path: str, gt_path: str, with_scale: bool = True,
             f"only {len(ie)} associated pairs (est {len(te)}, gt {len(tg)}) "
             f"— check timestamps/max_diff")
     return align_and_ate(pe[ie], pg[ig], with_scale=with_scale)
+
+
+def rpe_trans(t_est: np.ndarray, p_est: np.ndarray, t_gt: np.ndarray,
+              p_gt: np.ndarray, delta: float = 1.0,
+              with_scale: bool = True) -> AteResult:
+    """Translational Relative Pose Error over time windows of `delta`
+    seconds (the `evo_rpe`/TUM-benchmark drift metric): for every stamp
+    pair (t, t+delta), compare the estimated displacement NORM against the
+    ground-truth one. Scale (monocular) is fixed globally by the Umeyama
+    alignment first so RPE measures local drift, not global scale."""
+    s, _, _ = umeyama(p_est, p_gt, with_scale=with_scale)
+    pe = p_est * s
+    errs = []
+    j0 = 0
+    for i, t in enumerate(t_est):
+        j = int(np.searchsorted(t_est, t + delta, side="left"))
+        if j >= len(t_est):
+            break
+        if abs((t_est[j] - t) - delta) > 0.5 * delta:
+            continue
+        d_est = np.linalg.norm(pe[j] - pe[i])
+        d_gt = np.linalg.norm(p_gt[j] - p_gt[i])
+        errs.append(abs(d_est - d_gt))
+    if not errs:
+        raise ValueError("no stamp pairs at the requested delta")
+    err = np.asarray(errs)
+    return AteResult(rmse=float(np.sqrt((err ** 2).mean())),
+                     mean=float(err.mean()), median=float(np.median(err)),
+                     max=float(err.max()), n_pairs=len(err), scale=s)
+
+
+def evaluate_files_rpe(est_path: str, gt_path: str, delta: float = 1.0,
+                       with_scale: bool = True,
+                       max_diff: float = 0.02) -> AteResult:
+    """Translational RPE between two trajectory files (associated stamps)."""
+    te, pe = load_tum(est_path)
+    tg, pg = load_tum(gt_path)
+    ie, ig = associate(te, tg, max_diff=max_diff)
+    if len(ie) < 3:
+        raise ValueError(f"only {len(ie)} associated pairs")
+    return rpe_trans(te[ie], pe[ie], tg[ig], pg[ig], delta=delta,
+                     with_scale=with_scale)

@@ -93,3 +93,45 @@ class TestFilesAndCli:
         out = json.loads(capsys.readouterr().out)
         assert out["ate_rmse"] < 0.02
         assert abs(out["scale"] - 1 / 3) < 0.01
+
+
+class TestRpe:
+    def test_zero_for_identical(self, tmp_path):
+        from ppg_slam_tpu.utils.evaluation import rpe_trans
+
+        t, gt, rng = _traj()
+        res = rpe_trans(t, gt.copy(), t, gt, delta=1.0)
+        assert res.rmse < 1e-12
+        assert res.n_pairs > 10
+
+    def test_measures_local_drift_not_global_scale(self):
+        """A globally mis-scaled but locally perfect trajectory has ~zero
+        RPE after the Umeyama scale fix; accumulated drift does not."""
+        from ppg_slam_tpu.utils.evaluation import rpe_trans
+
+        t, gt, rng = _traj(n=120)
+        scaled = gt * 2.5
+        res = rpe_trans(t, scaled, t, gt, delta=1.0)
+        assert res.rmse < 1e-9
+        # linear drift along x: displacement norms now differ per window
+        drift = gt + np.outer(np.linspace(0, 0.6, len(t)),
+                              np.float64([1, 0, 0]))
+        res2 = rpe_trans(t, drift, t, gt, delta=1.0, with_scale=False)
+        assert res2.rmse > 0.01
+
+    def test_cli_rpe(self, tmp_path, capsys):
+        import json
+
+        from ppg_slam_tpu.cli.evaluate import main
+
+        t, gt, rng = _traj()
+        est = gt * 2.0 + rng.randn(*gt.shape) * 0.002
+        fe, fg = tmp_path / "e.txt", tmp_path / "g.txt"
+        for path, arr in ((fe, est), (fg, gt)):
+            with open(path, "w") as f:
+                for ti, p in zip(t, arr):
+                    f.write(f"{ti} {p[0]} {p[1]} {p[2]} 0 0 0 1\n")
+        assert main([str(fe), str(fg), "--json", "--rpe", "1.0"]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["rpe_rmse"] < 0.02
+        assert out["rpe_delta_s"] == 1.0
