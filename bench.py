@@ -44,6 +44,38 @@ import numpy as np
 
 import jax
 
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _probe_backend(timeout_s: float = 240.0) -> None:
+    """Bounded TPU-client probe in a SUBPROCESS: when the tunnel relay is
+    down, backend init can either fail fast (UNAVAILABLE) or retry-sleep
+    FOREVER inside make_c_api_client — probing in-process would hang the
+    whole bench. A subprocess + timeout turns both modes into a fast,
+    diagnosable exit. Must run before ANYTHING initializes a backend in
+    this process (including jax.default_backend below)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices())"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        log(f"FATAL: backend init did not complete within {timeout_s:.0f}s "
+            f"(TPU tunnel down/wedged) — aborting bench")
+        raise SystemExit(1)
+    if r.returncode != 0:
+        log("FATAL: backend init failed — aborting bench. Tail of stderr:")
+        log("\n".join(r.stderr.strip().splitlines()[-5:]))
+        raise SystemExit(1)
+    log(f"backend probe ok: {r.stdout.strip()}")
+
+
+_probe_backend()
+
 # Persistent XLA compilation cache: the batched front-end program takes
 # minutes to compile cold; with the cache a fresh-process bench run starts
 # measuring in seconds. TPU-only — XLA:CPU's AOT cache is unsound on this
@@ -54,10 +86,6 @@ if jax.default_backend() != "cpu":
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
-
-def log(msg):
-    print(msg, file=sys.stderr, flush=True)
 
 
 def make_frames(n=16):

@@ -49,4 +49,4 @@ python -m ppg_slam_tpu.cli.mono_inertial "$KIND" "$VOC" "$CFG" "$WEIGHTS" \
   "$DATA" --out-dir "$OUT" --realtime-factor "$SPEED" "${EXTRA[@]}"
 
 echo "trajectories in $OUT; re-evaluate anytime with:"
-echo "  python -m ppg_slam_tpu.cli.evaluate $OUT/CameraTrajectory.txt \"\$GT\""
+echo "  python -m ppg_slam_tpu.cli.evaluate $OUT/CameraTrajectory.txt \"\$GT\" --rpe 1.0"
