@@ -573,27 +573,46 @@ class LoopClosing:
 
         if not ii:
             return
-        graph_fixed = np.zeros(n, bool)
+        # pow2 node/edge buckets: every fresh (n, E) shape pair would be a
+        # new multi-second XLA compile PER LOOP CLOSURE (the graph grows
+        # between closures); padded nodes are fixed identities, padded
+        # edges are valid=False
+        n_pad = max(64, 1 << (n - 1).bit_length())
+        e_pad = max(512, 1 << (len(ii) - 1).bit_length())
+        n_edges = len(ii)
+        ii_a = np.zeros(e_pad, np.int32)
+        jj_a = np.zeros(e_pad, np.int32)
+        ii_a[:n_edges] = ii
+        jj_a[:n_edges] = jj
+        e_valid = np.arange(e_pad) < n_edges
+        graph_fixed = np.zeros(n_pad, bool)
+        graph_fixed[n:] = True
         graph_fixed[idx[matched.mnId]] = True
+
+        def pad_nodes(arr, fill):
+            out = np.broadcast_to(fill, (n_pad,) + fill.shape).copy()
+            out[:n] = arr
+            return out
 
         if wm.imu_initialized:
             # 4-DoF: body poses, measurements Ti<-j from current poses
-            Rwb = np.stack([k.imu_rotation() for k in kfs])
-            twb = np.stack([k.imu_position() for k in kfs])
-            dRij, dtij = [], []
-            for a, b, R_, t_, s_ in zip(ii, jj, SR, St, Ss):
+            Rwb = pad_nodes(np.stack([k.imu_rotation() for k in kfs]),
+                            np.eye(3, dtype=np.float32))
+            twb = pad_nodes(np.stack([k.imu_position() for k in kfs]),
+                            np.zeros(3, np.float32))
+            dRij = np.broadcast_to(np.eye(3, dtype=np.float32),
+                                   (e_pad, 3, 3)).copy()
+            dtij = np.zeros((e_pad, 3), np.float32)
+            for k_, (R_, t_, s_) in enumerate(zip(SR, St, Ss)):
                 # Sji maps i->j (camera); Edge4DoF wants Ti<-j: invert
-                Sji = Sim3T(R_, t_, s_)
-                Sij = Sji.inverse()
+                Sij = Sim3T(R_, t_, s_).inverse()
                 Rr, tr = Sij.to_se3()
-                dRij.append(Rr)
-                dtij.append(tr)
+                dRij[k_] = Rr
+                dtij[k_] = tr
             graph = Graph4DoF(
-                i=jnp.asarray(np.asarray(ii, np.int32)),
-                j=jnp.asarray(np.asarray(jj, np.int32)),
-                dRij=jnp.asarray(np.stack(dRij)),
-                dtij=jnp.asarray(np.stack(dtij)),
-                valid=jnp.ones(len(ii), bool))
+                i=jnp.asarray(ii_a), j=jnp.asarray(jj_a),
+                dRij=jnp.asarray(dRij), dtij=jnp.asarray(dtij),
+                valid=jnp.asarray(e_valid))
             Rf, tf = optimize_essential_graph_4dof(
                 jnp.asarray(Rwb), jnp.asarray(twb), graph,
                 jnp.asarray(graph_fixed))
@@ -607,20 +626,26 @@ class LoopClosing:
                 k.set_pose(rig.Rcb @ Rbw, rig.Rcb @ tbw + rig.tcb)
             self._correct_points_after_graph(kfs, old)
         else:
-            Rcw = np.stack([k.Rcw for k in kfs])
-            tcw = np.stack([k.tcw for k in kfs])
-            scw = np.ones(n, np.float32)
+            Rcw = pad_nodes(np.stack([k.Rcw for k in kfs]),
+                            np.eye(3, dtype=np.float32))
+            tcw = pad_nodes(np.stack([k.tcw for k in kfs]),
+                            np.zeros(3, np.float32))
+            scw = np.ones(n_pad, np.float32)
             for k, S in corrected.items():
                 i = idx.get(k.mnId)
                 if i is not None:
                     Rcw[i], tcw[i], scw[i] = S.R, S.t, S.s
+            SR_a = np.broadcast_to(np.eye(3, dtype=np.float32),
+                                   (e_pad, 3, 3)).copy()
+            St_a = np.zeros((e_pad, 3), np.float32)
+            Ss_a = np.ones(e_pad, np.float32)
+            SR_a[:n_edges] = np.stack(SR)
+            St_a[:n_edges] = np.stack(St)
+            Ss_a[:n_edges] = np.asarray(Ss, np.float32)
             graph = Sim3Graph(
-                i=jnp.asarray(np.asarray(ii, np.int32)),
-                j=jnp.asarray(np.asarray(jj, np.int32)),
-                Sji_R=jnp.asarray(np.stack(SR)),
-                Sji_t=jnp.asarray(np.stack(St)),
-                Sji_s=jnp.asarray(np.asarray(Ss, np.float32)),
-                valid=jnp.ones(len(ii), bool))
+                i=jnp.asarray(ii_a), j=jnp.asarray(jj_a),
+                Sji_R=jnp.asarray(SR_a), Sji_t=jnp.asarray(St_a),
+                Sji_s=jnp.asarray(Ss_a), valid=jnp.asarray(e_valid))
             Rf, tf, sf = optimize_essential_graph(
                 jnp.asarray(Rcw), jnp.asarray(tcw), jnp.asarray(scw), graph,
                 jnp.asarray(graph_fixed), fix_scale=wm.inertial_ba1)
