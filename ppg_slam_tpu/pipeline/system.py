@@ -11,6 +11,7 @@ matching the reference's data flow exactly.
 from __future__ import annotations
 
 import os
+import sys
 from typing import List, Optional
 
 import numpy as np
@@ -105,6 +106,11 @@ class System:
             from ..worldmap.serialize import load_map
 
             self.map = load_map(load_map_path, vocabulary=voc, rig=rig)
+            if voc is None:
+                print("WARNING: resuming from a map without a vocabulary — "
+                      "relocalization needs BoW place recognition, so "
+                      "tracking cannot re-anchor into the loaded map",
+                      file=sys.stderr)
         else:
             self.map = Map(rig, vocabulary=voc)
         self.extractor = PPGExtractor(cam, weights_path,
