@@ -212,15 +212,28 @@ class PPGExtractor:
             # candidate geometry (dist/ang) is NOT transferred: it is a pure
             # function of kp_un + ci/cj, recomputed on host in _finish —
             # the D2H link (~30-40 MB/s through the tunnel) is the front-end
-            # bottleneck, so only device-only information ships.
+            # bottleneck, so only device-only information ships, packed:
+            #   * (ci, cj) -> v = ci + 512*cj < 2^18 in THREE bytes (vs 4);
+            #   * good -> bit-packed (1 bit/candidate, little-endian);
+            #   * lscore -> f16 ([0,1] weights; 3 significant digits is far
+            #     inside the harmonic edge-weight tolerance).
+            assert max_kp <= 512  # 18-bit (ci, cj) packing bound
+            v = sel["ci"].astype(jnp.int32) + 512 * sel["cj"].astype(
+                jnp.int32)
+            cand_packed = jnp.stack([
+                (v & 255).astype(jnp.uint8),
+                ((v >> 8) & 255).astype(jnp.uint8),
+                (v >> 16).astype(jnp.uint8),
+            ])
+            bit_w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+            good_bits = jnp.sum(
+                good.reshape(-1, 8).astype(jnp.int32) * bit_w[None, :],
+                axis=1).astype(jnp.uint8)
             out = dict(
                 kp_score=kp_score, n_kp=jnp.sum(kp_valid),
                 kp_un=kp_un, kp_ok=kp_ok,
-                ci=sel["ci"].astype(jnp.int16), cj=sel["cj"].astype(jnp.int16),
-                # f16 line scores: halves the largest candidate array on the
-                # D2H link (scores are [0,1] weights — 3 significant digits
-                # is far inside the harmonic edge-weight tolerance)
-                n_cand=sel["n_cand"], good=good,
+                cand_packed=cand_packed, good_bits=good_bits,
+                n_cand=sel["n_cand"],
                 lscore=lscore.astype(jnp.float16),
                 saturated=sel["saturated"] | overflow,
             )
@@ -405,18 +418,26 @@ class PPGExtractor:
         kp_un = a["kp_un"][:n_kp]
         kp_ok = a["kp_ok"][:n_kp]
 
+        # unpack the 3-byte (ci, cj) pairs and the good bit field
+        cp = a["cand_packed"].astype(np.int32)
+        v = cp[0] + (cp[1] << 8) + (cp[2] << 16)
+        ci_full = (v & 511).astype(np.int32)
+        cj_full = (v >> 9).astype(np.int32)
+        good = np.unpackbits(a["good_bits"],
+                             bitorder="little").view(np.bool_)
+
         # recompute candidate geometry from kp_un (mirrors the device's
         # ops/pairs.py candidate_geometry; same f32 inputs -> same values)
-        ci = a["ci"][:n_cand].astype(np.int64)
-        cj = a["cj"][:n_cand].astype(np.int64)
+        ci = ci_full[:n_cand].astype(np.int64)
+        cj = cj_full[:n_cand].astype(np.int64)
         kp_all = a["kp_un"]
         d = kp_all[cj] - kp_all[ci]
         dist_c = np.sqrt(np.sum(d * d, axis=-1), dtype=np.float32)
         ang_ab = np.arctan2(d[:, 1], d[:, 0]).astype(np.float32)
         ang_ba = np.arctan2(-d[:, 1], -d[:, 0]).astype(np.float32)
         edges, lscore, colines, connected = finalize_graph(
-            a["ci"][:n_cand], a["cj"][:n_cand], dist_c, ang_ab, ang_ba,
-            a["good"][:n_cand],
+            ci_full[:n_cand], cj_full[:n_cand], dist_c, ang_ab, ang_ba,
+            good[:n_cand],
             a["lscore"][:n_cand], n_kp)
 
         desc_fetch = None
