@@ -113,7 +113,7 @@ def _euroc_cam():
         width=752, height=480)
 
 
-def bench_frontend(B=32, n_batches=16, depth=3, kf_interval=8):
+def bench_frontend(B=32, n_batches=24, depth=3, kf_interval=8):
     """Depth-3 pipelined front-end in the deployed serving configuration:
     bf16 convs (f32 accumulation) and DEVICE-RESIDENT descriptors
     (desc_transfer="device") — per-frame matching consumes them through the
