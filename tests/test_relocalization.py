@@ -15,8 +15,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 VOC_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "assets", "voc_euroc_9x3.npz")
-BLIND_START, BLIND_END = 70, 175  # no features for 5.25 s: outlasts the
-# IMU coast window (5 s), forcing LOST -> relocalization
+BLIND_START, BLIND_END = 62, 167  # no features for 5.25 s: outlasts the
+# IMU coast window (5 s), forcing LOST -> relocalization. 62 pre-blind
+# frames = IMU init (t=2 s -> frame 40) + 1.1 s of inertially-initialized
+# tracking, comfortably past the >10-KF reloc gate; 28 post-blind frames
+# cover reloc + restored-OK tail (reloc fires on the first sighted frame).
 
 
 class BlindableExtractor:
@@ -53,7 +56,7 @@ def reloc_run():
     from ppg_slam_tpu.pipeline.tracking import Tracking
     from ppg_slam_tpu.worldmap import Map, Rig
 
-    seq = SyntheticSequence(n_frames=220, noise_px=0.3,
+    seq = SyntheticSequence(n_frames=195, noise_px=0.3,
                         imu_noise=(2e-3, 2e-2))
     rig = Rig(seq.scene.cam, freq=200.0)
     wmap = Map(rig, vocabulary=Vocabulary.load(VOC_PATH))
