@@ -74,7 +74,11 @@ def _probe_backend(timeout_s: float = 240.0) -> None:
     log(f"backend probe ok: {r.stdout.strip()}")
 
 
-_probe_backend()
+# Skip the TPU probe when the process is already pinned to CPU (e.g. a
+# debugging harness did jax.config.update("jax_platforms", "cpu") before
+# importing this module) — there is no tunnel to protect against then.
+if (jax.config.jax_platforms or "").strip() != "cpu":
+    _probe_backend()
 
 # Persistent XLA compilation cache: the batched front-end program takes
 # minutes to compile cold; with the cache a fresh-process bench run starts

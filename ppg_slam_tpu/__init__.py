@@ -26,3 +26,23 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+# On TPU, f32 dot/einsum/conv default to ONE bf16 MXU pass per operand
+# (Precision.DEFAULT) — ~8 mantissa bits, a ~4e-3 relative error that CPU
+# runs never see. SLAM estimator math (normal-equation assembly, Lie-group
+# composition chains, triangulation, RANSAC scoring) accumulates that error
+# across iterations and frames, so the framework pins the default to true
+# f32 (6-pass operand splitting). The deliberately-fast paths are explicit
+# bf16 *dtypes* (serving convs via PPGExtractor(compute_dtype="bf16"),
+# device matching in ops/device_match.py, int8 descriptor transfer) and are
+# unaffected: precision config only governs f32-input contractions. Hot f32
+# contractions that need a cheaper mode pin their own `precision=` at the
+# call site (ops/sampling.py banded remap = HIGH, estimator one-hot
+# gather/scatter = HIGHEST already). Opt out with PPG_DEFAULT_MATMUL=1 to
+# restore JAX's platform default.
+import os as _os
+
+if not _os.environ.get("PPG_DEFAULT_MATMUL"):
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", "float32")
