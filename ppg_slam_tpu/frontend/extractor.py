@@ -334,6 +334,16 @@ class PPGExtractor:
 
         self._stage_batch = jax.jit(stage_batch)
 
+        # data-parallel batched variant over a device mesh (multi-chip
+        # scale-out, SURVEY §2.8: DP front-end for offline mapping /
+        # multi-camera rigs / faster-than-realtime playback). shard_map,
+        # not GSPMD sharding: the decode tail is a lax.map *scan* whose
+        # scanned axis cannot be partitioned across devices — instead each
+        # device runs the whole batched stage on its local shard of the
+        # frame batch (embarrassingly parallel; no collectives).
+        self._stage_batch_py = stage_batch
+        self._dp_programs: dict = {}
+
         # keyframe-rate host descriptor fetch (device desc mode): ONE i8
         # packed buffer per requested frame
         if dev_desc:
@@ -375,25 +385,57 @@ class PPGExtractor:
     def extract(self, image_u8: np.ndarray) -> FrameFeatures:
         return self.extract_async(image_u8).result()
 
-    def extract_batch(self, images: List[np.ndarray]) -> List[FrameFeatures]:
+    def extract_batch(self, images: List[np.ndarray],
+                      mesh=None) -> List[FrameFeatures]:
         """Extract a batch of frames in ONE device dispatch (vmapped stage).
 
         Throughput path: the front-end is a pure per-frame function, so
         frames batch freely (multi-camera rigs, offline mapping, and
         playback faster than the per-dispatch link latency allows). Live
         tracking consumes results in order, one batch behind.
-        """
-        return self.extract_batch_async(images).result()
 
-    def extract_batch_async(self, images: List[np.ndarray]) -> "_BatchHandle":
+        mesh: an optional `jax.sharding.Mesh` with a "dp" axis — the batch
+        is sharded over it, one local sub-batch per device (multi-chip DP
+        scale-out; results are identical to the single-device path).
+        """
+        return self.extract_batch_async(images, mesh=mesh).result()
+
+    def _dp_stage(self, mesh):
+        """shard_map-wrapped batched stage for a mesh, cached per mesh."""
+        prog = self._dp_programs.get(mesh)
+        if prog is None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            dp = mesh.axis_names[0]
+            # check_vma off: the stage is per-frame pure (no collectives),
+            # and the decode's lax.cond branches mix device-varying and
+            # replicated values that the varying-axis analysis rejects.
+            prog = jax.jit(shard_map(
+                self._stage_batch_py, mesh=mesh,
+                in_specs=(P(), P(dp), P(), P(), P(), P()),
+                out_specs=P(dp), check_vma=False))
+            self._dp_programs[mesh] = prog
+        return prog
+
+    def extract_batch_async(self, images: List[np.ndarray],
+                            mesh=None) -> "_BatchHandle":
         stack = jnp.asarray(np.stack(images))
         assert stack.ndim == 3, "batch of single-channel images"
-        if self._has_dist:
-            out = self._stage_batch(self.params, stack, self._mapx,
-                                    self._mapy, self._band_lo, self._col_lo)
+        if mesh is not None:
+            pad = (-len(images)) % mesh.size
+            if pad:  # fixed per-device shape: repeat the tail frame
+                stack = jnp.concatenate(
+                    [stack, jnp.repeat(stack[-1:], pad, axis=0)])
+            prog = self._dp_stage(mesh)
         else:
-            out = self._stage_batch(self.params, stack, None, None, None,
-                                    None)
+            prog = self._stage_batch
+        if self._has_dist:
+            out = prog(self.params, stack, self._mapx,
+                       self._mapy, self._band_lo, self._col_lo)
+        else:
+            out = prog(self.params, stack, None, None, None,
+                       None)
         if self.desc_transfer == "device":
             return _BatchHandle(self, out[0], len(images), desc_dev=out[1])
         return _BatchHandle(self, out, len(images))

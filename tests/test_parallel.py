@@ -163,3 +163,59 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+class TestDPFrontend:
+    """Data-parallel front-end over the mesh (SURVEY §2.8): the frame batch
+    shards over the "dp" axis, one local sub-batch per device, and results
+    must equal the single-device batched path exactly (same per-frame
+    program, no cross-frame ops)."""
+
+    @pytest.fixture(scope="class")
+    def images(self):
+        rng = np.random.RandomState(9)
+        imgs = []
+        for k in range(8):
+            img = np.full((240, 320), 128, np.uint8)
+            for i in range(1, 6):
+                img[i * 40 - 1 - (k % 3), :] = 255
+                img[:, i * 50 - 1 + (k % 4)] = 255
+            img = np.clip(img.astype(np.int32)
+                          + rng.randint(-15, 15, img.shape), 0,
+                          255).astype(np.uint8)
+            imgs.append(img)
+        return imgs
+
+    @pytest.fixture(scope="class")
+    def extractor(self):
+        from ppg_slam_tpu.frontend import PPGExtractor
+        from ppg_slam_tpu.geometry.cameras import CAM_PINHOLE, CameraModel
+
+        cam = CameraModel(kind=CAM_PINHOLE, fx=200.0, fy=200.0, cx=160.0,
+                          cy=120.0, dist=(0.0, 0.0, 0.0, 0.0),
+                          width=320, height=240)
+        return PPGExtractor(cam)
+
+    def test_sharded_equals_single(self, extractor, images):
+        ref = extractor.extract_batch(images)
+        dp = extractor.extract_batch(images, mesh=_mesh(8))
+        assert len(dp) == len(ref)
+        for a, b in zip(ref, dp):
+            assert a.n_kp == b.n_kp
+            np.testing.assert_array_equal(a.kp_pos[:a.n_kp],
+                                          b.kp_pos[:b.n_kp])
+            np.testing.assert_array_equal(a.edges, b.edges)
+            np.testing.assert_allclose(a.edge_score, b.edge_score,
+                                       atol=1e-6)
+            np.testing.assert_allclose(a.desc[:a.n_kp], b.desc[:b.n_kp],
+                                       atol=1e-6)
+
+    def test_pads_partial_batch(self, extractor, images):
+        """A 6-frame batch on an 8-device mesh pads internally and returns
+        exactly 6 results."""
+        dp = extractor.extract_batch(images[:6], mesh=_mesh(8))
+        ref = extractor.extract_batch(images[:6])
+        assert len(dp) == 6
+        for a, b in zip(ref, dp):
+            np.testing.assert_array_equal(a.kp_pos[:a.n_kp],
+                                          b.kp_pos[:b.n_kp])
