@@ -1,12 +1,12 @@
-"""ppg_slam_tpu — a TPU-native (JAX/XLA/Pallas) monocular-inertial SLAM framework.
+"""ppg_slam_tpu — a TPU-native (JAX/XLA) monocular-inertial SLAM framework.
 
 A from-scratch re-design of the capabilities of NEU-REAL/PPG-SLAM (see SURVEY.md):
 a learned point-pair-graph (PPG) front-end, image-to-map association with graph
 seed-growing, IMU preintegration, and a batched Gauss-Newton / Schur-complement
 estimator with co-linearity constraints, Sim3 loop closure and pose-graph
 optimization — built TPU-first: one jitted XLA program per pipeline stage,
-fixed-shape padded buffers, MXU-resident matmuls, Pallas kernels for the hot
-decode ops, and `jax.sharding` meshes for multi-chip scaling.
+fixed-shape padded buffers, MXU-resident matmuls (one-hot gather/scatter
+assembly, batched decode), and `jax.sharding` meshes for multi-chip scaling.
 
 Package layout:
   geometry/   SO3 / SE3 / Sim3 Lie ops, camera models, triangulation, 2-view init
