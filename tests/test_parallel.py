@@ -196,8 +196,11 @@ class TestDPFrontend:
                           width=320, height=240)
         return PPGExtractor(cam)
 
-    def test_sharded_equals_single(self, extractor, images):
-        ref = extractor.extract_batch(images)
+    @pytest.fixture(scope="class")
+    def ref(self, extractor, images):
+        return extractor.extract_batch(images)
+
+    def test_sharded_equals_single(self, extractor, images, ref):
         dp = extractor.extract_batch(images, mesh=_mesh(8))
         assert len(dp) == len(ref)
         for a, b in zip(ref, dp):
@@ -210,12 +213,13 @@ class TestDPFrontend:
             np.testing.assert_allclose(a.desc[:a.n_kp], b.desc[:b.n_kp],
                                        atol=1e-6)
 
-    def test_pads_partial_batch(self, extractor, images):
-        """A 6-frame batch on an 8-device mesh pads internally and returns
-        exactly 6 results."""
+    def test_pads_partial_batch(self, extractor, images, ref):
+        """A 6-frame batch on an 8-device mesh pads internally (repeating
+        the tail frame to the compiled 8-shape) and returns exactly 6
+        results — per-frame extraction is batch-independent, so they must
+        equal the corresponding frames of the full-batch reference."""
         dp = extractor.extract_batch(images[:6], mesh=_mesh(8))
-        ref = extractor.extract_batch(images[:6])
         assert len(dp) == 6
-        for a, b in zip(ref, dp):
+        for a, b in zip(ref[:6], dp):
             np.testing.assert_array_equal(a.kp_pos[:a.n_kp],
                                           b.kp_pos[:b.n_kp])
