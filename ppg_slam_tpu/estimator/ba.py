@@ -174,7 +174,6 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
         # share one compiled program per shape bucket.
         import dataclasses as _dc
 
-        copts = _dc.replace(opts, iters=chunk)
         done = 0
         lam = jnp.asarray(opts.lambda0, jnp.float32)
         st, pts = states, points
@@ -182,7 +181,12 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
         prev_chi2 = np.inf
         stalled_chunks = 0
         while done < opts.iters:
-            st, pts, info = _solve(st, pts, copts, lam0=lam)
+            # resume damping through opts.lambda0 (a runtime pytree leaf —
+            # passing the previous chunk's device scalar keeps one shared
+            # compiled program and costs no host sync)
+            st, pts, info = _solve(st, pts,
+                                   _dc.replace(opts, iters=chunk,
+                                               lambda0=lam))
             _start_fetch(st, pts, info)
             lam = info["lam"]
             # the inner while_loop can exit before `chunk` iterations when

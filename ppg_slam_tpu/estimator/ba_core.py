@@ -35,15 +35,21 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry import so3
 from ..geometry.cameras import CameraModel
 from ..imu.preintegration import GRAVITY_VALUE
-from .robust import KERNELS
+from .robust import kernel_code, kernel_rho, kernel_weight
 
 # state block layout
 DOF = 15
 S_TH, S_T, S_V, S_BG, S_BA = 0, 3, 6, 9, 12
+
+# chi2_hist capacity (fixed so the program shape is independent of
+# opts.iters; runs longer than this overwrite the last slot — diagnostics
+# only, iters_run/final_chi2 stay exact)
+MAX_HIST = 32
 
 
 class KFStates(NamedTuple):
@@ -151,7 +157,12 @@ def empty_problem(n_obs=0, n_col=0, n_links=0, n_priors=0, n_bp=0,
 
 @dataclasses.dataclass(frozen=True)
 class BAOptions:
-    """Static solver configuration (hashable -> jit static arg)."""
+    """Solver configuration. A PYTREE, not a jit static arg: iters, lambda0,
+    kernels (as int32 codes), deltas, chi2 threshold and tol are runtime
+    leaves, so ALL BA flavors (LBA/LIBA/GBA/FIBA, any damping/robustifier)
+    share ONE compiled solve program per shape bucket — each flavor
+    otherwise costs a ~12 s XLA compile. `adapt` and `pcg_iters` stay
+    static aux data (they change the program structure)."""
 
     iters: int = 10
     lambda0: float = 1e-5           # g2o userLambdaInit of the BA flavor
@@ -166,6 +177,30 @@ class BAOptions:
     # two consecutive iterations — g2o's default terminate action (small
     # gain stops the LM loop); 0 disables and always runs `iters`.
     tol: float = 1e-3
+
+
+def _opt_leaf(x, np_type):
+    """Option field -> strongly-typed scalar leaf (Python numbers would trace
+    as weak — f64 under the tests' x64 mode — and fork programs)."""
+    return x if isinstance(x, jax.Array) else np_type(x)
+
+
+jax.tree_util.register_pytree_node(
+    BAOptions,
+    lambda o: ((_opt_leaf(o.iters, np.int32),
+                _opt_leaf(o.lambda0, np.float32),
+                _opt_leaf(kernel_code(o.reproj_kernel), np.int32),
+                _opt_leaf(o.reproj_delta, np.float32),
+                _opt_leaf(kernel_code(o.coline_kernel), np.int32),
+                _opt_leaf(o.coline_delta, np.float32),
+                _opt_leaf(o.chi2_inlier_mono, np.float32),
+                _opt_leaf(o.tol, np.float32)),
+               (o.adapt, o.pcg_iters)),
+    lambda aux, ls: BAOptions(
+        iters=ls[0], lambda0=ls[1], reproj_kernel=ls[2], reproj_delta=ls[3],
+        coline_kernel=ls[4], coline_delta=ls[5], chi2_inlier_mono=ls[6],
+        tol=ls[7], adapt=aux[0], pcg_iters=aux[1]),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -345,11 +380,12 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     Jk = jnp.where(rv[..., None], Jk, 0.0)
     Jx = jnp.where(rv[..., None], Jx, 0.0)
     chi2 = jnp.sum(r * r, axis=1)
-    w = KERNELS[opts.reproj_kernel](chi2, opts.reproj_delta)
+    w = kernel_weight(opts.reproj_kernel, chi2, opts.reproj_delta)
     w = w * prob.r_valid
     chi2_sum += jnp.sum(
         jnp.where(prob.r_valid,
-                  _rho(chi2, opts.reproj_kernel, opts.reproj_delta), 0.0)
+                  kernel_rho(opts.reproj_kernel, chi2, opts.reproj_delta),
+                  0.0)
     )
     # apply free masks to Jacobian columns (mask gathers = exact matmuls)
     Jk = Jk * _sel(E_kf, dof_mask, prob.r_kf)[:, None, :]
@@ -396,11 +432,12 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
 
     rc, J1, J2, J3 = jax.vmap(coline_one)(Xc1, Xc2, Xc3)
     chi2c = jnp.sum(rc * rc, axis=1) * prob.c_w
-    wc = KERNELS[opts.coline_kernel](chi2c, opts.coline_delta)
+    wc = kernel_weight(opts.coline_kernel, chi2c, opts.coline_delta)
     wc = wc * prob.c_valid * prob.c_w  # includes information weight
     chi2_sum += jnp.sum(
         jnp.where(prob.c_valid,
-                  _rho(chi2c, opts.coline_kernel, opts.coline_delta), 0.0)
+                  kernel_rho(opts.coline_kernel, chi2c, opts.coline_delta),
+                  0.0)
     )
     # sanitize padded entries (where on validity, NOT weight-multiply: 0*nan=nan)
     cv = prob.c_valid[:, None, None]
@@ -439,11 +476,11 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
         prob.i_dt)
     chi2i = jnp.sum(ri * ri, axis=1)
     wi = jnp.where(prob.i_huber,
-                   KERNELS["huber"](chi2i, 4.113393), 1.0)  # sqrt(16.92)
+                   kernel_weight(1, chi2i, 4.113393), 1.0)  # huber sqrt(16.92)
     wi = wi * prob.i_valid
     chi2_sum += jnp.sum(jnp.where(
         prob.i_valid,
-        jnp.where(prob.i_huber, _rho(chi2i, "huber", 4.113393), chi2i), 0.0))
+        jnp.where(prob.i_huber, kernel_rho(1, chi2i, 4.113393), chi2i), 0.0))
     Ja = Ja * dof_mask[prob.i_kf1][:, None, :]
     Jb = Jb * dof_mask[prob.i_kf2][:, None, :]
     swi = wi[:, None, None]
@@ -530,17 +567,6 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     return chi2_sum, Hpp, b_p, Hll, b_l, W, coline_terms
 
 
-def _rho(chi2, kernel: str, delta: float):
-    """Robust loss value (for total-cost bookkeeping / LM accept tests)."""
-    d2 = delta * delta
-    if kernel == "huber":
-        return jnp.where(chi2 <= d2, chi2,
-                         2.0 * delta * jnp.sqrt(jnp.maximum(chi2, 1e-12)) - d2)
-    if kernel == "cauchy":
-        return d2 * jnp.log1p(chi2 / d2)
-    return chi2
-
-
 def _chi2_only(states, points, prob, cam, Rcb, tcb, opts, axis=None):
     """Total robust cost at a state (for LM step accept/reject)."""
     dtype = points.dtype
@@ -560,8 +586,8 @@ def _chi2_only(states, points, prob, cam, Rcb, tcb, opts, axis=None):
     r = jax.vmap(reproj_one)(Rg, tg, Xg, prob.r_uv)
     chi2 = jnp.sum(r * r, axis=1)
     total = jnp.sum(jnp.where(prob.r_valid,
-                              _rho(chi2, opts.reproj_kernel,
-                                   opts.reproj_delta), 0.0))
+                              kernel_rho(opts.reproj_kernel, chi2,
+                                         opts.reproj_delta), 0.0))
 
     def coline_one(X1, X2, X3):
         z3 = jnp.zeros(3, dtype)
@@ -573,8 +599,8 @@ def _chi2_only(states, points, prob, cam, Rcb, tcb, opts, axis=None):
         _sel(_onehot(prob.c_idx[:, 2], m, dtype), points, prob.c_idx[:, 2]))
     chi2c = jnp.sum(rc * rc, axis=1) * prob.c_w
     total += jnp.sum(jnp.where(prob.c_valid,
-                               _rho(chi2c, opts.coline_kernel,
-                                    opts.coline_delta), 0.0))
+                               kernel_rho(opts.coline_kernel, chi2c,
+                                          opts.coline_delta), 0.0))
 
     def inertial_one(k1, k2, dRm, dVm, dPm, JRg, JVg, JVa, JPg, JPa, b0, sqi,
                      dt_):
@@ -592,7 +618,7 @@ def _chi2_only(states, points, prob, cam, Rcb, tcb, opts, axis=None):
     chi2i = jnp.sum(ri * ri, axis=1)
     total += jnp.sum(jnp.where(
         prob.i_valid,
-        jnp.where(prob.i_huber, _rho(chi2i, "huber", 4.113393), chi2i), 0.0))
+        jnp.where(prob.i_huber, kernel_rho(1, chi2i, 4.113393), chi2i), 0.0))
 
     for sq, get in ((prob.rw_sqig, lambda k: states.bg[k]),
                     (prob.rw_sqia, lambda k: states.ba[k])):
@@ -619,19 +645,23 @@ def _chi2_only(states, points, prob, cam, Rcb, tcb, opts, axis=None):
     return total
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "opts", "axis"))
+@functools.partial(jax.jit, static_argnames=("axis",))
 def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
              kf_dof: jax.Array, mp_free: jax.Array, Rcb: jax.Array,
              tcb: jax.Array, cam: CameraModel, opts: BAOptions,
-             lam0: Optional[float] = None, axis: Optional[str] = None):
+             axis: Optional[str] = None):
     """Run `opts.iters` damped-GN iterations. Returns (states, points, info).
 
     info carries per-iteration chi2 for diagnostics, the final damping
-    (``lam``, so chunked callers can resume), and the final per-obs chi2 /
-    depth-positivity for the callers' outlier classification. ``lam0``
-    overrides opts.lambda0 when resuming a chunked solve (see
-    ba.solve_chunked / the reference's force-stop flag checked inside g2o,
-    OptimizerLBA.cpp:112-113).
+    (``lam``: chunked callers resume by passing it back as ``opts.lambda0``
+    — see ba._padded_solve / the reference's force-stop flag checked inside
+    g2o, OptimizerLBA.cpp:112-113), and the final per-obs chi2 /
+    depth-positivity for the callers' outlier classification.
+
+    `cam` and `opts` are pytrees of runtime leaves (see BAOptions /
+    CameraModel registration): every BA flavor, damping schedule, robust
+    kernel choice and camera calibration shares one compiled program per
+    (shape bucket, opts.adapt, opts.pcg_iters, cam.kind).
     """
     n = states.R.shape[0]
     m = points.shape[0]
@@ -732,49 +762,47 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
                                                          chi2)), chi2
         return (new_states, new_points, lam, chi2), chi2
 
-    init = (states, points,
-            jnp.asarray(opts.lambda0 if lam0 is None else lam0, dtype),
+    init = (states, points, jnp.asarray(opts.lambda0, dtype),
             jnp.asarray(jnp.inf, dtype))
-    if opts.tol <= 0.0:
-        (states_f, points_f, lam_f, final_chi2), chi2_hist = jax.lax.scan(
-            solve_iter, init, None, length=opts.iters)
-        iters_run = jnp.asarray(opts.iters, jnp.int32)
-    else:
-        # bounded while_loop with g2o-style small-gain termination: stop
-        # once an ACCEPTED step improves chi2 by < tol (relative) twice in
-        # a row. Rejected LM steps are part of the lambda search, not
-        # convergence — they don't count as stalls, but 6 consecutive
-        # rejections (lambda grew 4^6x without one accept) also stop.
-        hist0 = jnp.zeros(opts.iters, dtype)
+    # Bounded while_loop (runtime `opts.iters` bound — a fixed bound would
+    # fork one program per iteration count) with g2o-style small-gain
+    # termination: stop once an ACCEPTED step improves chi2 by < tol
+    # (relative) twice in a row. Rejected LM steps are part of the lambda
+    # search, not convergence — they don't count as stalls, but 6
+    # consecutive rejections (lambda grew 4^6x without one accept) also
+    # stop. tol == 0 disables both exits (always runs `iters`, matching the
+    # old scan path).
+    hist0 = jnp.zeros(MAX_HIST, dtype)
+    rej_cap = jnp.where(opts.tol > 0, 6, opts.iters + 1)
 
-        def w_cond(c):
-            it, _, _, _, _, stall, rej, _ = c
-            return (it < opts.iters) & (stall < 2) & (rej < 6)
+    def w_cond(c):
+        it, _, _, _, _, stall, rej, _ = c
+        return (it < opts.iters) & (stall < 2) & (rej < rej_cap)
 
-        def w_body(c):
-            it, st, pts, lam, last, stall, rej, hist = c
-            (st2, pts2, lam2, chi2_acc), chi2_pre = solve_iter(
-                (st, pts, lam, last), None)
-            hist = hist.at[it].set(chi2_pre)
-            accepted = chi2_acc < last
-            rel_gain = (last - chi2_acc) / jnp.maximum(chi2_acc, 1e-20)
-            small = rel_gain < opts.tol
-            stall = jnp.where(accepted, jnp.where(small, stall + 1, 0),
-                              stall)
-            rej = jnp.where(accepted, 0, rej + 1)
-            return (it + 1, st2, pts2, lam2, chi2_acc, stall, rej, hist)
+    def w_body(c):
+        it, st, pts, lam, last, stall, rej, hist = c
+        (st2, pts2, lam2, chi2_acc), chi2_pre = solve_iter(
+            (st, pts, lam, last), None)
+        hist = hist.at[jnp.minimum(it, MAX_HIST - 1)].set(chi2_pre)
+        accepted = chi2_acc < last
+        rel_gain = (last - chi2_acc) / jnp.maximum(chi2_acc, 1e-20)
+        small = rel_gain < opts.tol
+        stall = jnp.where(accepted, jnp.where(small, stall + 1, 0),
+                          stall)
+        rej = jnp.where(accepted, 0, rej + 1)
+        return (it + 1, st2, pts2, lam2, chi2_acc, stall, rej, hist)
 
-        it_f, states_f, points_f, lam_f, final_chi2, _, _, chi2_hist = (
-            jax.lax.while_loop(
-                w_cond, w_body,
-                (jnp.asarray(0, jnp.int32), init[0], init[1], init[2],
-                 init[3], jnp.asarray(0, jnp.int32),
-                 jnp.asarray(0, jnp.int32), hist0)))
-        # unexecuted slots hold the final accepted chi2 so hist stays
-        # monotone-looking for diagnostics ([-1] == converged value)
-        chi2_hist = jnp.where(jnp.arange(opts.iters) < it_f, chi2_hist,
-                              final_chi2)
-        iters_run = it_f
+    it_f, states_f, points_f, lam_f, final_chi2, _, _, chi2_hist = (
+        jax.lax.while_loop(
+            w_cond, w_body,
+            (jnp.asarray(0, jnp.int32), init[0], init[1], init[2],
+             init[3], jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32), hist0)))
+    # unexecuted slots hold the final accepted chi2 so hist stays
+    # monotone-looking for diagnostics ([-1] == converged value)
+    chi2_hist = jnp.where(jnp.arange(MAX_HIST) < it_f, chi2_hist,
+                          final_chi2)
+    iters_run = it_f
 
     # final per-observation chi2 + depth for outlier classification
     res_fn = make_reproj_residual(cam, Rcb, tcb)

@@ -68,9 +68,7 @@ def _gs_residual(dv1, dv2, bg_abs, ba_abs, dgd, ds, R1, t1, v1, R2, t2, v2,
     return jnp.concatenate([er, ev, ep])
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("fix_vel_bias", "iters", "prior_g",
-                                    "prior_a"))
+@functools.partial(jax.jit, static_argnames=("fix_vel_bias", "iters"))
 def inertial_optimization(
     R: jax.Array, t: jax.Array, v: jax.Array,
     bg0: jax.Array, ba0: jax.Array, Rwg0: jax.Array, scale0: jax.Array,
@@ -86,7 +84,11 @@ def inertial_optimization(
     n = t.shape[0]
     L = prob.kf1.shape[0]
     n_dof = 3 * n + 9  # v..., bg, ba, gdir(2), logs(1)
-    lam0 = 1e3 if prior_g != 0.0 else 1e-5
+    # priors are runtime scalars (every IMU-init phase shares one program);
+    # cast so Python floats can't promote the solve under x64 test mode
+    prior_g = jnp.asarray(prior_g, dtype)
+    prior_a = jnp.asarray(prior_a, dtype)
+    lam0 = jnp.where(prior_g != 0.0, 1e3, 1e-5).astype(dtype)
 
     def unpack(x, vels, bg, ba, Rwg, log_s):
         dvs = x[: 3 * n].reshape(n, 3)

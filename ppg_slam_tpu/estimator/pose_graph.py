@@ -220,8 +220,7 @@ def _sim3_proj_residuals(d, S_R, S_t, S_s, X1, X2, uv1, uv2,
     return r12, r21
 
 
-@functools.partial(jax.jit, static_argnames=("cam1", "cam2", "fix_scale",
-                                             "th2"))
+@functools.partial(jax.jit, static_argnames=("fix_scale", "th2"))
 def optimize_sim3(S_R, S_t, S_s, X1, X2, uv1, uv2, valid,
                   cam1: CameraModel, cam2: CameraModel,
                   fix_scale: bool = False, th2: float = 10.0):

@@ -53,7 +53,7 @@ def _reproj_tcw(d6, Rcw, tcw, X, uv, cam: CameraModel):
     return uv - cam.project(Rn @ X + tn)
 
 
-@functools.partial(jax.jit, static_argnames=("cam",))
+@functools.partial(jax.jit)  # cam is a runtime pytree (shared program across calibrations)
 def pose_optimization(Rcw0, tcw0, X, uv, valid, cam: CameraModel):
     """Returns (Rcw, tcw, inlier (O,), n_inliers). X: (O, 3) world points."""
     dtype = tcw0.dtype
@@ -198,7 +198,7 @@ def marginalize_schur(H, keep_start: int):
     return c - b.T @ a_pinv @ b
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "fix_prev", "rec_init"))
+@functools.partial(jax.jit, static_argnames=("fix_prev", "rec_init"))
 def pose_inertial_optimization(
     curr: FrameVIState, prev: FrameVIState, preint: PreintData,
     prior: Prior15, X, uv, valid, close, Rcb, tcb, cam: CameraModel,

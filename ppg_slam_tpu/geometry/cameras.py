@@ -205,6 +205,31 @@ class CameraModel:
         )
 
 
+def _cam_leaf(x):
+    """Intrinsic -> strongly-typed f32 leaf (Python floats would become
+    weak f64 under the tests' x64 mode and fork compiled programs)."""
+    return x if isinstance(x, jax.Array) else np.float32(x)
+
+
+# CameraModel is ALSO a pytree: intrinsics (fx, fy, cx, cy, dist) are runtime
+# leaves; (kind, width, height, fps) stay static aux data (kind selects the
+# projection code path, width/height feed host-side shapes). This lets the
+# solvers take the camera as a DYNAMIC jit argument, so problems that differ
+# only in calibration share one compiled program — each distinct camera
+# otherwise forks a ~12 s solve_ba compile via static_argnames. Passing a
+# CameraModel through static_argnames elsewhere still works (hash/eq are
+# untouched).
+jax.tree_util.register_pytree_node(
+    CameraModel,
+    lambda c: ((_cam_leaf(c.fx), _cam_leaf(c.fy), _cam_leaf(c.cx),
+                _cam_leaf(c.cy), tuple(_cam_leaf(d) for d in c.dist)),
+               (c.kind, c.width, c.height, c.fps)),
+    lambda aux, leaves: CameraModel(
+        kind=aux[0], fx=leaves[0], fy=leaves[1], cx=leaves[2], cy=leaves[3],
+        dist=leaves[4], width=aux[1], height=aux[2], fps=aux[3]),
+)
+
+
 # ----------------------------------------------------------------------------
 # pinhole radtan
 # ----------------------------------------------------------------------------

@@ -76,26 +76,22 @@ def pad_problem_for_mesh(prob: BAProblem, n_dev: int) -> BAProblem:
     return BAProblem(**out)
 
 
-@functools.lru_cache(maxsize=8)
-def _sharded_solver(mesh: Mesh, cam: CameraModel, opts: BAOptions,
-                    has_lam0: bool):
+@functools.lru_cache(maxsize=4)
+def _sharded_solver(mesh: Mesh):
+    """One jitted shard_map solver per mesh: camera and options travel as
+    replicated pytree args (runtime leaves), so every BA flavor/calibration
+    shares this single program per shape bucket."""
     rep = P()
     shd = P(AXIS)
     prob_spec = BAProblem(**{k: shd for k in BAProblem._fields})
     st_spec = KFStates(rep, rep, rep, rep, rep)
     info_spec = dict(chi2_hist=rep, final_chi2=rep, lam=rep, iters_run=rep,
                      obs_chi2=shd, obs_depth=shd)
-    in_specs = (st_spec, rep, prob_spec, rep, rep, rep, rep)
-    if has_lam0:
-        in_specs = in_specs + (rep,)
+    in_specs = (st_spec, rep, prob_spec, rep, rep, rep, rep, rep, rep)
 
-        def body(states, points, prob, kf_dof, mp_free, Rcb, tcb, lam0):
-            return solve_ba(states, points, prob, kf_dof, mp_free, Rcb, tcb,
-                            cam, opts, lam0=lam0, axis=AXIS)
-    else:
-        def body(states, points, prob, kf_dof, mp_free, Rcb, tcb):
-            return solve_ba(states, points, prob, kf_dof, mp_free, Rcb, tcb,
-                            cam, opts, axis=AXIS)
+    def body(states, points, prob, kf_dof, mp_free, Rcb, tcb, cam, opts):
+        return solve_ba(states, points, prob, kf_dof, mp_free, Rcb, tcb,
+                        cam, opts, axis=AXIS)
 
     fn = shard_map(body, mesh=mesh, in_specs=in_specs,
                    out_specs=(st_spec, rep, info_spec))
@@ -104,7 +100,7 @@ def _sharded_solver(mesh: Mesh, cam: CameraModel, opts: BAOptions,
 
 def solve_ba_sharded(states: KFStates, points, prob: BAProblem, kf_dof,
                      mp_free, Rcb, tcb, cam: CameraModel, opts: BAOptions,
-                     mesh: Mesh, lam0=None):
+                     mesh: Mesh):
     """solve_ba over a device mesh: identical signature/semantics, residual
     families sharded on the mesh's first axis, states replicated."""
     n_dev = int(np.prod(list(mesh.shape.values())))
@@ -116,12 +112,9 @@ def solve_ba_sharded(states: KFStates, points, prob: BAProblem, kf_dof,
     states = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), rep),
                           states)
     put = lambda a: jax.device_put(jnp.asarray(a), rep)
-    solver = _sharded_solver(mesh, cam, opts, lam0 is not None)
-    args = (states, put(points), prob, put(kf_dof), put(mp_free), put(Rcb),
-            put(tcb))
-    if lam0 is not None:
-        args = args + (put(jnp.asarray(lam0, jnp.float32)),)
-    return solver(*args)
+    solver = _sharded_solver(mesh)
+    return solver(states, put(points), prob, put(kf_dof), put(mp_free),
+                  put(Rcb), put(tcb), cam, opts)
 
 
 # ---------------------------------------------------------------------------
