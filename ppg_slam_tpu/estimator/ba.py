@@ -61,24 +61,29 @@ def _coarse_buckets() -> bool:
 def _obs_floor() -> int:
     """Observation-slot floor. On accelerators 4096 (bench-tuned: the live
     LBA window is ~4-8k obs and device time scales with the padded shape);
-    on the CPU test backend 8192, so a whole test process — local windows
-    AND the IMU-init/GBA solves — compiles exactly ONE solve_ba obs bucket
-    (the padded-shape runtime cost is well under one ~11 s compile)."""
+    on the CPU test backend 2048. The CPU floor was 8192 when every (shape,
+    flavor, camera) combination forked its own program; with BAOptions/
+    CameraModel as pytrees only SHAPES fork, so a test process pays for at
+    most ~3 obs buckets (2k/4k/8k, ~14 s each) while the many small-window
+    solves of the tracked fixtures run ~5x faster (measured 0.91 s ->
+    0.18 s per 6-iter solve on the 1-core CI host; A/B full-suite runs:
+    2048 floor 837 s vs 4096 floor 897 s vs 8192 floor 892 s)."""
     import jax
 
-    return 4096 if jax.default_backend() != "cpu" else 8192
+    return 4096 if jax.default_backend() != "cpu" else 2048
 
 
 @functools.lru_cache(None)
 def _kf_mp_floors() -> tuple:
     """(KF-slot, MP-slot) floors. Accelerators keep the bench-tuned 16/512
-    local-window floors; the CPU test backend floors at 64/1024 so the
-    GBA/FIBA solves of a growing map (N crossing 16->32->64, M crossing
-    512->1024 over a 100-frame fixture) stay in ONE compiled program —
-    each crossing otherwise recompiles per robust-kernel flavor (~11 s)."""
+    local-window floors; the CPU test backend floors at (32, 1024): local
+    windows of the tracked fixtures stay in the 32-KF bucket (solves ~5x
+    cheaper than the old 64-KF floor), and only a large-map GBA crosses
+    into a second KF bucket — one extra ~14 s compile per process, paid
+    once now that BA flavors/cameras share programs (pytree options)."""
     import jax
 
-    return (16, 512) if jax.default_backend() != "cpu" else (64, 1024)
+    return (16, 512) if jax.default_backend() != "cpu" else (32, 1024)
 
 
 def _sqrt_info_psd(M: np.ndarray) -> np.ndarray:

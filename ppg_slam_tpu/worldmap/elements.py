@@ -156,26 +156,23 @@ class MapPoint:
         self.descriptor = D[int(np.argmin(medians))].copy()
 
     def update_normal_and_depth(self) -> None:
-        """Mean viewing direction + min/max depth (MapPoint.cpp:338-376)."""
+        """Mean viewing direction + min/max depth (MapPoint.cpp:338-376).
+
+        Vectorized over observations: this runs for every window MP after
+        every BA write-back (hundreds of calls per frame on the live path),
+        so one stacked norm beats a per-KF Python loop ~5x."""
         if self.bad or not self.observations:
             return
-        normal = np.zeros(3, np.float64)
-        dmin, dmax = 1e9, 0.0
-        n = 0
-        for kf in self.observations:
-            po = self.pos - kf.camera_center()
-            dist = float(np.linalg.norm(po))
-            if dist < 1e-12:
-                continue
-            normal += po / dist
-            dmin = min(dmin, dist)
-            dmax = max(dmax, dist)
-            n += 1
-        if n == 0:
+        centers = np.stack([kf.camera_center() for kf in self.observations])
+        po = self.pos - centers
+        d = np.sqrt(np.einsum("ni,ni->n", po, po))
+        ok = d > 1e-12
+        if not ok.any():
             return
-        self.min_depth = dmin
-        self.max_depth = dmax
-        self.normal = (normal / n).astype(np.float32)
+        dv = d[ok]
+        self.min_depth = float(dv.min())
+        self.max_depth = float(dv.max())
+        self.normal = (po[ok] / dv[:, None]).mean(0).astype(np.float32)
 
     # depth-invariance bounds (MapPoint.cpp:378-389: 0.5x min / 2.0x max —
     # PPG has no image pyramid but the reference still allows a wide band;

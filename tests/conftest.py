@@ -68,13 +68,20 @@ jax.monitoring.register_event_duration_secs_listener(_count_backend_compile)
 # (many one-use programs; clears are harmless there).
 _MODULE_ORDER = [
     # group A: pipeline / solver programs (+ map_store producer before
-    # consumers: test_pipeline_e2e donates to test_serialize/test_viewer)
+    # consumers: test_pipeline_e2e donates to test_serialize/test_viewer/
+    # test_parallel). The estimator-family unit modules run INSIDE this
+    # span because they reuse the same solve_ba/pose-opt/preintegration
+    # bucket programs — running them after a cache clear recompiled the
+    # whole bucket set (~190 compiles, ~40 s, observed r2).
     "test_async", "test_ba_entry", "test_pipeline_e2e",
     "test_serialize", "test_viewer", "test_loop_closing",
-    "test_relocalization", "test_profiling",
-    # group B: front-end extractor programs (cli_e2e also reuses group A's
-    # solve programs — keep A+B under one clear-free span)
-    "test_extractor", "test_frontend_decode", "test_cli_e2e",
+    "test_relocalization", "test_profiling", "test_cli_e2e",
+    "test_estimator", "test_inertial_init", "test_pose_graph",
+    # group B: front-end extractor programs (cli_e2e sits in group A: it
+    # tracks through the full pipeline, so it must reuse A's solve
+    # programs — a cache clear between A and it recompiled ~30 s of solve
+    # buckets, observed r2)
+    "test_extractor", "test_frontend_decode",
     "test_device_match", "test_prefetch", "test_fisheye_e2e",
     "test_real_extractor_pipeline", "test_ppg_net",
     # test_parallel is a compile BOMB (~290 programs: 8-device shard_map
@@ -104,13 +111,25 @@ def _bound_jax_compiler_state(request):
     since the last clear (counted via jax.monitoring) — so shared programs
     survive across modules while compiler state stays inside the margin
     that was green under the old policy."""
+    import time as _time
+
+    t0 = _time.monotonic()
     yield
-    cleared = _COMPILES_SINCE_CLEAR[0] >= 300
+    # Deterministic clear points at boundaries where program sharing ends
+    # (after the solver-family span, after the shard_map bomb), plus the
+    # >=300 safety valve in case compile counts drift: an unplanned clear
+    # landing between two program-sharing modules costs ~30 s of
+    # recompiles (observed r2 between the estimator family and cli_e2e).
+    _CLEAR_AFTER = {"test_pose_graph", "test_parallel"}
+    cleared = (_COMPILES_SINCE_CLEAR[0] >= 300
+               or (request.module.__name__ in _CLEAR_AFTER
+                   and _COMPILES_SINCE_CLEAR[0] >= 100))
     try:  # per-module compile telemetry (pytest captures stderr; use a file)
         with open("/tmp/ppg_compile_counts.log", "a") as f:
             f.write(f"{request.module.__name__}: "
                     f"total={_COMPILES_TOTAL[0]} "
-                    f"since_clear={_COMPILES_SINCE_CLEAR[0]}"
+                    f"since_clear={_COMPILES_SINCE_CLEAR[0]} "
+                    f"wall={_time.monotonic() - t0:.1f}s"
                     f"{' CLEAR' if cleared else ''}\n")
     except OSError:
         pass

@@ -108,6 +108,14 @@ class TestEntryPointsOnMesh:
         from ppg_slam_tpu.worldmap.serialize import load_map, save_map
 
         def build_map():
+            # prefer the VI map the pipeline-e2e module already tracked
+            # (map_store donation) — building another 48-frame tracked map
+            # costs ~30 s on the 1-core CI host
+            import map_store
+
+            cached = map_store.get_map("straight")
+            if cached is not None:
+                return cached
             reset_ids()
             seq = SyntheticSequence(n_frames=48)
             rig = Rig(CAM, freq=200.0)
