@@ -49,29 +49,48 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _probe_backend(timeout_s: float = 240.0) -> None:
+def _probe_backend(timeout_s: float = 240.0, attempts: int = 6,
+                   retry_sleep_s: float = 90.0) -> None:
     """Bounded TPU-client probe in a SUBPROCESS: when the tunnel relay is
     down, backend init can either fail fast (UNAVAILABLE) or retry-sleep
     FOREVER inside make_c_api_client — probing in-process would hang the
     whole bench. A subprocess + timeout turns both modes into a fast,
     diagnosable exit. Must run before ANYTHING initializes a backend in
-    this process (including jax.default_backend below)."""
-    import subprocess
+    this process (including jax.default_backend below).
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices())"],
-            timeout=timeout_s, capture_output=True, text=True)
-    except subprocess.TimeoutExpired:
-        log(f"FATAL: backend init did not complete within {timeout_s:.0f}s "
-            f"(TPU tunnel down/wedged) — aborting bench")
-        raise SystemExit(1)
-    if r.returncode != 0:
-        log("FATAL: backend init failed — aborting bench. Tail of stderr:")
-        log("\n".join(r.stderr.strip().splitlines()[-5:]))
-        raise SystemExit(1)
-    log(f"backend probe ok: {r.stdout.strip()}")
+    Retries ride out SHORT tunnel outages (observed r2: multi-hour relay
+    outages exist, but so do minutes-long blips — a bench launched into a
+    blip should wait it out rather than zero the round's perf gate).
+    Worst-case stall: attempts * (timeout_s + retry_sleep_s) ~= 33 min."""
+    import subprocess
+    import time as _time
+
+    last = None
+    for k in range(attempts):
+        if k:
+            log(f"backend probe retry {k + 1}/{attempts} in "
+                f"{retry_sleep_s:.0f}s ...")
+            _time.sleep(retry_sleep_s)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices())"],
+                timeout=timeout_s, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            last = (f"backend init did not complete within {timeout_s:.0f}s "
+                    f"(TPU tunnel down/wedged)")
+            log(last)
+            continue
+        if r.returncode != 0:
+            last = "backend init failed. Tail of stderr:\n" + "\n".join(
+                r.stderr.strip().splitlines()[-5:])
+            log(last)
+            continue
+        log(f"backend probe ok: {r.stdout.strip()}")
+        return
+    log(f"FATAL: no TPU backend after {attempts} probes — aborting bench. "
+        f"Last error: {last}")
+    raise SystemExit(1)
 
 
 # Skip the TPU probe when the process is already pinned to CPU (e.g. a
