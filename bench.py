@@ -192,27 +192,31 @@ def bench_frontend(B=32, n_batches=24, depth=3, kf_interval=8):
     return float(np.median(times)) / B * 1e3
 
 
-def bench_frontend_tumvi(B=32, n_batches=8, depth=3):
-    """TUM-VI 512x512 KannalaBrandt8 front-end bucket (the fisheye half of
-    the BASELINE evaluation set): same serving config as the EuRoC bucket,
-    exercising the KB8 undistortion remap at its native shape."""
+def bench_frontend_tumvi(B=32, n_batches=8, depth=3, size=512):
+    """TUM-VI KannalaBrandt8 front-end bucket (the fisheye half of the
+    BASELINE evaluation set): same serving config as the EuRoC bucket,
+    exercising the KB8 undistortion remap at its native shape. size=512 by
+    default; the 1024 bucket (TUM-VI-1024 config) runs only when
+    PPG_BENCH_1024=1 — a new shape is a multi-minute cold compile on the
+    1-core host, which must not risk the driver's gated run."""
     import cv2
 
     from ppg_slam_tpu.frontend import PPGExtractor
     from ppg_slam_tpu.geometry.cameras import CAM_FISHEYE, CameraModel
 
+    s = size / 512.0
     cam = CameraModel(
-        kind=CAM_FISHEYE, fx=190.978477, fy=190.973307, cx=254.931706,
-        cy=256.897442,
+        kind=CAM_FISHEYE, fx=190.978477 * s, fy=190.973307 * s,
+        cx=254.931706 * s, cy=256.897442 * s,
         dist=(0.003482389402, 0.000715034845, -0.002053236141,
               0.000202936736),
-        width=512, height=512)
+        width=size, height=size)
     ex = PPGExtractor(cam, desc_transfer="device", compute_dtype="bf16")
     rng = np.random.RandomState(0)
     frames = []
     for _ in range(B):
-        img = np.full((512, 512), 120, np.uint8)
-        for i in range(1, 8):
+        img = np.full((size, size), 120, np.uint8)
+        for i in range(1, size // 64):
             img[i * 64 - 1, :] = 250
             img[:, i * 64 - 1] = 250
         img = np.clip(img.astype(np.int32)
@@ -671,6 +675,13 @@ def main() -> None:
             f"(20 fps x4 budget: 12.5 ms)")
     except Exception as e:
         log(f"TUM-VI front-end bucket skipped: {type(e).__name__}: {e}")
+    if os.environ.get("PPG_BENCH_1024"):
+        try:
+            fe_hi = bench_frontend_tumvi(B=16, n_batches=4, size=1024)
+            log(f"front-end TUM-VI 1024x1024 KB8 bucket: {fe_hi:.2f} "
+                f"ms/frame")
+        except Exception as e:
+            log(f"TUM-VI-1024 bucket skipped: {type(e).__name__}: {e}")
     try:
         bench_solver_table()
     except Exception as e:
