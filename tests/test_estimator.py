@@ -304,3 +304,54 @@ class TestMarginalize:
         # ground truth dense Schur
         ref = H[15:, 15:] - H[15:, :15] @ np.linalg.inv(H[:15, :15]) @ H[:15, 15:]
         np.testing.assert_allclose(Hm, ref, atol=1e-6 * np.abs(ref).max())
+
+
+class TestOneProgramPerBucket:
+    def test_flavors_and_cameras_share_one_compiled_program(self):
+        """BAOptions and CameraModel are pytrees of runtime leaves (r2): the
+        LBA/GBA/FIBA robust-kernel flavors, damping schedules and camera
+        calibrations must all execute through ONE compiled solve program per
+        shape bucket. Guards the refactor that removed the ~12 s per-flavor
+        XLA compile (estimator/ba_core.py BAOptions registration)."""
+        points, Rwb, twb = make_world(n_kf=4, n_mp=24)
+        n_kf, n_mp = len(Rwb), len(points)
+        prob = build_problem(points, Rwb, twb, noise=0.3)
+        states = KFStates(
+            R=jnp.asarray(Rwb), t=jnp.asarray(twb),
+            v=jnp.zeros((n_kf, 3), jnp.float32),
+            bg=jnp.zeros((n_kf, 3), jnp.float32),
+            ba=jnp.zeros((n_kf, 3), jnp.float32))
+        kf_dof = np.zeros((n_kf, 15), bool)
+        kf_dof[2:, :6] = True
+        args = (states, jnp.asarray(points), prob, jnp.asarray(kf_dof),
+                jnp.ones(n_mp, bool), jnp.eye(3, dtype=jnp.float32),
+                jnp.zeros(3, jnp.float32))
+
+        compiles = [0]
+
+        def count(key, *a, **kw):
+            if key == "/jax/core/compile/backend_compile_duration":
+                compiles[0] += 1
+
+        jax.monitoring.register_event_duration_secs_listener(count)
+        # first solve may compile (or reuse an earlier module's program)
+        solve_ba(*args, CAM, BAOptions(iters=3, lambda0=1e-5))
+        compiles[0] = 0
+        # every reference flavor (OptimizerLBA/GBA/Pose lambda0 + kernels,
+        # SURVEY 2.4) and a different calibration: zero new programs
+        cam2 = CameraModel(kind=CAM_PINHOLE, fx=458.654, fy=457.296,
+                           cx=367.215, cy=248.375, dist=(0.0, 0.0, 0.0, 0.0),
+                           width=640, height=480)
+        for cam, opts in (
+            (CAM, BAOptions(iters=5, lambda0=100.0, reproj_kernel="cauchy")),
+            (CAM, BAOptions(iters=4, lambda0=1e-2, reproj_kernel="huber",
+                            tol=1e-3)),
+            (CAM, BAOptions(iters=2, lambda0=1.0, reproj_kernel="none",
+                            coline_kernel="huber", coline_delta=2.795)),
+            (cam2, BAOptions(iters=3, lambda0=1e-5)),
+        ):
+            st, pts, info = solve_ba(*args, cam, opts)
+            assert np.isfinite(float(np.asarray(info["final_chi2"])))
+        assert compiles[0] == 0, (
+            f"{compiles[0]} recompiles — BAOptions/CameraModel leaves must "
+            f"stay runtime pytree data, not program constants")
