@@ -614,7 +614,7 @@ def bench_e2e_live(n_frames=48, batch=8):
     frames, gt_poses = _render_wireframe_euroc(n_frames)
     cam = _e2e_cam()
 
-    def run(use_prefetch):
+    def run(use_prefetch, use_mapper_thread=False):
         reset_ids()
         ex = PPGExtractor(cam, desc_transfer="device", compute_dtype="bf16")
         rig = Rig(cam, freq=200.0)
@@ -622,6 +622,8 @@ def bench_e2e_live(n_frames=48, batch=8):
         Map.imu_ini_time = 1e9  # visual-only
         tracking = Tracking(wmap, ex)
         tracking.local_mapper = LocalMapping(wmap, tracking=tracking)
+        if use_mapper_thread:  # the reference's 4-thread deployment
+            tracking.local_mapper.start()
         pre = FramePrefetcher(ex, batch=batch, depth=2) if use_prefetch \
             else None
         times = []
@@ -642,6 +644,8 @@ def bench_e2e_live(n_frames=48, batch=8):
                 est.append(-f.Rcw.T @ f.tcw)
                 Rcw, tcw = gt_poses[k]
                 gt.append(-Rcw.T @ tcw)
+        if use_mapper_thread:
+            tracking.local_mapper.stop()
         ok = tracking.state == OK
         ate = (align_and_ate(np.asarray(est), np.asarray(gt),
                              with_scale=True).rmse
@@ -654,7 +658,11 @@ def bench_e2e_live(n_frames=48, batch=8):
     run(False)  # warm pass: compile every per-frame program untimed
     serial_ms, ok_s, kf_s, ate_s = run(False)
     async_ms, ok_a, kf_a, ate_a = run(True)
-    return serial_ms, async_ms, ok_s and ok_a, (kf_s, kf_a), (ate_s, ate_a)
+    # full deployment: pipelined front-end + local mapping on its own
+    # consumer thread (keyframe fuse/BA leave the per-frame critical path)
+    full_ms, ok_f, kf_f, ate_f = run(True, use_mapper_thread=True)
+    return ((serial_ms, async_ms, full_ms), ok_s and ok_a and ok_f,
+            (kf_s, kf_a, kf_f), (ate_s, ate_a, ate_f))
 
 
 def main() -> None:
@@ -687,13 +695,13 @@ def main() -> None:
     except Exception as e:
         log(f"solver scaling table skipped: {type(e).__name__}: {e}")
     try:
-        ser, asy, ok, kfs, ates = bench_e2e_live()
+        (ser, asy, full), ok, kfs, ates = bench_e2e_live()
         log(f"e2e live tracking (wireframe corridor, serving config): serial "
-            f"{ser:.1f} ms/frame -> async front-end {asy:.1f} ms/frame "
-            f"(tracking ok={ok}, kfs={kfs}, synthetic ATE RMSE "
-            f"serial/async = {ates[0]:.3f}/{ates[1]:.3f} m; per-frame "
-            f"match+pose-opt round trips are tunnel-bound, ~24 ms each on "
-            f"this link)")
+            f"{ser:.1f} -> async front-end {asy:.1f} -> + threaded mapping "
+            f"{full:.1f} ms/frame (tracking ok={ok}, kfs={kfs}, synthetic "
+            f"ATE RMSE = {ates[0]:.3f}/{ates[1]:.3f}/{ates[2]:.3f} m; "
+            f"per-frame match+pose-opt round trips are tunnel-bound, "
+            f"~24 ms each on this link)")
     except Exception as e:  # side metric must never break the gate
         log(f"e2e live tracking bench skipped: {type(e).__name__}: {e}")
 

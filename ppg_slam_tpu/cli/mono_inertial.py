@@ -27,8 +27,8 @@ def run(dataset_kind: str, voc: str, settings: str, weights: str,
         render_dir: str = "", render_every: int = 10,
         loop_closing: bool = True, eval_gt: str = "",
         async_frontend: bool = False, threaded_gba: bool = False,
-        serving: bool = False, save_map: str = "",
-        load_map: str = "") -> dict:
+        async_mapping: bool = False, serving: bool = False,
+        save_map: str = "", load_map: str = "") -> dict:
     import cv2
 
     from ..datasets import load_euroc, load_tumvi, load_uma
@@ -50,6 +50,7 @@ def run(dataset_kind: str, voc: str, settings: str, weights: str,
                   viewer_every=render_every,
                   active_loop_closing=loop_closing,
                   async_frontend=async_frontend, threaded_gba=threaded_gba,
+                  async_mapping=async_mapping,
                   desc_transfer="device" if serving else "f32",
                   compute_dtype="bf16" if serving else "f32",
                   load_map_path=load_map or None)
@@ -142,6 +143,9 @@ def main() -> None:
                          "(the reference's thread overlap)")
     ap.add_argument("--threaded-gba", action="store_true",
                     help="run loop-closure global BA on a background thread")
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="run local mapping + loop closing on a consumer "
+                         "thread (the reference's 4-thread deployment)")
     ap.add_argument("--save-map", default="",
                     help="checkpoint the final map to this path")
     ap.add_argument("--load-map", default="",
@@ -156,8 +160,8 @@ def main() -> None:
         realtime_factor=a.realtime_factor, render_dir=a.render_dir,
         render_every=a.render_every, loop_closing=not a.no_loop_closing,
         eval_gt=a.eval_gt, async_frontend=a.async_frontend,
-        threaded_gba=a.threaded_gba, serving=a.serving,
-        save_map=a.save_map, load_map=a.load_map)
+        threaded_gba=a.threaded_gba, async_mapping=a.async_mapping,
+        serving=a.serving, save_map=a.save_map, load_map=a.load_map)
 
 
 if __name__ == "__main__":

@@ -454,13 +454,23 @@ def _coline_edge_cleanup(wmap: Map, mps: List[MapPoint]) -> None:
 # ---------------------------------------------------------------------------
 
 def local_bundle_adjustment(kf: KeyFrame, wmap: Map,
-                            iters: int = 10, abort_check=None) -> None:
+                            iters: int = 10, abort_check=None,
+                            map_lock=None) -> None:
     """Visual local BA (OptimizerLBA.cpp:35-329). abort_check: polled
-    between GN chunks (the reference's force-stop flag, :112-113)."""
+    between GN chunks (the reference's force-stop flag, :112-113).
+    map_lock: held around the host gather and apply phases only, so a
+    threaded local mapper's device solve overlaps tracking (the reference
+    runs its g2o solve outside mMutexMapUpdate the same way). If the map's
+    transform_epoch moves mid-solve (IMU init / loop correction rescaled
+    the world) the write-back is dropped entirely."""
+    from contextlib import nullcontext
+
     from ..utils import profiler
 
+    guard = map_lock if map_lock is not None else nullcontext()
     rig = wmap.rig
-    with profiler.timer("lba.gather"):
+    with guard, profiler.timer("lba.gather"):
+        epoch0 = wmap.transform_epoch
         local = [kf] + [k for k in kf.ordered_connected if not k.is_bad()]
         local_ids = {k.mnId for k in local}
         mps: List[MapPoint] = []
@@ -517,84 +527,100 @@ def local_bundle_adjustment(kf: KeyFrame, wmap: Map,
         with profiler.timer("lba.apply.fetch"):
             # ONE pipelined device_get for everything the host post-pass
             # reads: separate blocking np.asarray calls each pay a full
-            # link round trip (profiled: 90+180 ms per local BA)
+            # link round trip (profiled: 90+180 ms per local BA). Fetched
+            # OUTSIDE the map lock — it is the long device wait.
             st, pts, chi2, depth = jax.device_get(
                 (st, pts, info["obs_chi2"], info["obs_depth"]))
             info = dict(info, obs_chi2=chi2, obs_depth=depth)
-        with profiler.timer("lba.apply.outlier"):
-            _apply_outlier_pass(info, refs)
-        with profiler.timer("lba.apply.poses"):
-            free = kf_dof.any(axis=1)
-            _write_back_poses(kfs, st, rig, free, velocities=False)
-        with profiler.timer("lba.apply.points"):
-            pts_np = np.asarray(pts)
-            for j, mp in enumerate(mps):
-                if not mp.is_bad():
-                    mp.pos = pts_np[j].copy()
-                    mp.update_normal_and_depth()
-        with profiler.timer("lba.apply.colines"):
-            _coline_edge_cleanup(wmap, mps)
-        wmap.info_map_change()
+        guard2 = map_lock if map_lock is not None else nullcontext()
+        with guard2:
+            if wmap.transform_epoch != epoch0:
+                profiler.count("lba_dropped_stale")
+                return
+            with profiler.timer("lba.apply.outlier"):
+                _apply_outlier_pass(info, refs)
+            with profiler.timer("lba.apply.poses"):
+                free = kf_dof.any(axis=1)
+                _write_back_poses(kfs, st, rig, free, velocities=False)
+            with profiler.timer("lba.apply.points"):
+                pts_np = np.asarray(pts)
+                for j, mp in enumerate(mps):
+                    if not mp.is_bad():
+                        mp.pos = pts_np[j].copy()
+                        mp.update_normal_and_depth()
+            with profiler.timer("lba.apply.colines"):
+                _coline_edge_cleanup(wmap, mps)
+            wmap.info_map_change()
 
 
 def local_inertial_ba(kf: KeyFrame, wmap: Map, b_large: bool = False,
                       b_rec_init: bool = False, iters: int = 10,
-                      abort_check=None) -> None:
-    """Visual-inertial local BA (OptimizerLBA.cpp:354-846)."""
+                      abort_check=None, map_lock=None) -> None:
+    """Visual-inertial local BA (OptimizerLBA.cpp:354-846). map_lock: see
+    local_bundle_adjustment — gather/apply locked, device solve unlocked,
+    write-back dropped on a mid-solve whole-map transform."""
+    from contextlib import nullcontext
+
+    from ..utils import profiler
+
+    guard = map_lock if map_lock is not None else nullcontext()
     rig = wmap.rig
-    max_opt = 50
-    nd = min(wmap.n_keyframes() - 2, max_opt)
-    window: List[KeyFrame] = [kf]
-    while len(window) < nd and window[-1].prev_kf is not None:
-        window.append(window[-1].prev_kf)
-    local_ids = {k.mnId for k in window}
+    with guard:
+        epoch0 = wmap.transform_epoch
+        max_opt = 50
+        nd = min(wmap.n_keyframes() - 2, max_opt)
+        window: List[KeyFrame] = [kf]
+        while len(window) < nd and window[-1].prev_kf is not None:
+            window.append(window[-1].prev_kf)
+        local_ids = {k.mnId for k in window}
 
-    mps: List[MapPoint] = []
-    seen = set()
-    for k in window:
-        for mp in k.map_points:
-            if mp is not None and not mp.is_bad() and mp.mnId not in seen:
-                seen.add(mp.mnId)
-                mps.append(mp)
+        mps: List[MapPoint] = []
+        seen = set()
+        for k in window:
+            for mp in k.map_points:
+                if mp is not None and not mp.is_bad() \
+                        and mp.mnId not in seen:
+                    seen.add(mp.mnId)
+                    mps.append(mp)
 
-    fixed: List[KeyFrame] = []
-    fixed_ids = set()
-    if window[-1].prev_kf is not None:
-        fixed.append(window[-1].prev_kf)
-        fixed_ids.add(window[-1].prev_kf.mnId)
-    else:
-        # no previous: fix the oldest window KF itself
-        oldest = window.pop()
-        local_ids.discard(oldest.mnId)
-        fixed.append(oldest)
-        fixed_ids.add(oldest.mnId)
-    for mp in mps:  # ONE fixed observer per point (reference quirk)
-        if len(fixed) >= 200:
-            break
-        for k in mp.observations:
-            if k.mnId not in local_ids and k.mnId not in fixed_ids \
-                    and not k.is_bad():
-                fixed_ids.add(k.mnId)
-                fixed.append(k)
+        fixed: List[KeyFrame] = []
+        fixed_ids = set()
+        if window[-1].prev_kf is not None:
+            fixed.append(window[-1].prev_kf)
+            fixed_ids.add(window[-1].prev_kf.mnId)
+        else:
+            # no previous: fix the oldest window KF itself
+            oldest = window.pop()
+            local_ids.discard(oldest.mnId)
+            fixed.append(oldest)
+            fixed_ids.add(oldest.mnId)
+        for mp in mps:  # ONE fixed observer per point (reference quirk)
+            if len(fixed) >= 200:
                 break
-    kfs = window + fixed
-    if not mps or len(kfs) < 2:
-        return
-    kf_index = {k.mnId: i for i, k in enumerate(kfs)}
-    mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
+            for k in mp.observations:
+                if k.mnId not in local_ids and k.mnId not in fixed_ids \
+                        and not k.is_bad():
+                    fixed_ids.add(k.mnId)
+                    fixed.append(k)
+                    break
+        kfs = window + fixed
+        if not mps or len(kfs) < 2:
+            return
+        kf_index = {k.mnId: i for i, k in enumerate(kfs)}
+        mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
 
-    states = _body_states(kfs, rig)
-    points = np.stack([mp.pos for mp in mps]).astype(np.float32)
-    r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps, mp_index)
-    c_idx, c_w, _ = _gather_colines(wmap, mp_index)
-    # temporal links over window + the link into the fixed previous KF
-    soft = {fixed[0].mnId} if fixed else set()
-    links = _gather_links(window, kf_index, soft_prev_ids=soft)
-    prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w, links=links)
+        states = _body_states(kfs, rig)
+        points = np.stack([mp.pos for mp in mps]).astype(np.float32)
+        r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps, mp_index)
+        c_idx, c_w, _ = _gather_colines(wmap, mp_index)
+        # temporal links over window + the link into the fixed previous KF
+        soft = {fixed[0].mnId} if fixed else set()
+        links = _gather_links(window, kf_index, soft_prev_ids=soft)
+        prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w, links=links)
 
-    kf_dof = np.zeros((len(kfs), 15), bool)
-    kf_dof[: len(window), :] = True
-    mp_free = np.ones(len(mps), bool)
+        kf_dof = np.zeros((len(kfs), 15), bool)
+        kf_dof[: len(window), :] = True
+        mp_free = np.ones(len(mps), bool)
 
     opts = BAOptions(iters=iters, lambda0=(1e-2 if b_large else 1e0),
                      reproj_kernel="cauchy")
@@ -603,24 +629,30 @@ def local_inertial_ba(kf: KeyFrame, wmap: Map, b_large: bool = False,
                                   abort_check=abort_check)
 
     # one pipelined device_get for the whole host post-pass (see the
-    # visual LBA above)
+    # visual LBA above) — outside the map lock: it is the long device wait
     st, pts, chi2_np, depth_np = jax.device_get(
         (st, pts, info["obs_chi2"], info["obs_depth"]))
     info = dict(info, obs_chi2=chi2_np, obs_depth=depth_np)
-    # depth-aware chi2 (close = tracked depth < 10, :743-750); we use the
-    # optimized depth as the closeness proxy
-    depth = depth_np[: len(refs)]
-    close = depth < 10.0
-    _apply_outlier_pass(info, refs, close_depth_aware=True, close_flags=close)
-    free = kf_dof.any(axis=1)
-    _write_back_poses(kfs, st, rig, free, velocities=True)
-    pts_np = np.asarray(pts)
-    for j, mp in enumerate(mps):
-        if not mp.is_bad():
-            mp.pos = pts_np[j].copy()
-            mp.update_normal_and_depth()
-    _coline_edge_cleanup(wmap, mps)
-    wmap.info_map_change()
+    guard2 = map_lock if map_lock is not None else nullcontext()
+    with guard2:
+        if wmap.transform_epoch != epoch0:
+            profiler.count("lba_dropped_stale")
+            return
+        # depth-aware chi2 (close = tracked depth < 10, :743-750); we use
+        # the optimized depth as the closeness proxy
+        depth = depth_np[: len(refs)]
+        close = depth < 10.0
+        _apply_outlier_pass(info, refs, close_depth_aware=True,
+                            close_flags=close)
+        free = kf_dof.any(axis=1)
+        _write_back_poses(kfs, st, rig, free, velocities=True)
+        pts_np = np.asarray(pts)
+        for j, mp in enumerate(mps):
+            if not mp.is_bad():
+                mp.pos = pts_np[j].copy()
+                mp.update_normal_and_depth()
+        _coline_edge_cleanup(wmap, mps)
+        wmap.info_map_change()
 
 
 def global_bundle_adjustment(wmap: Map, iters: int = 20, loop_kf: int = 0,

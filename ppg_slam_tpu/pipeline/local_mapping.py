@@ -2,13 +2,19 @@
 
 Consumes new keyframes: neighbor fuse (SearchInNeighbors :159-366 including
 MapEdge fusion), then local (inertial) BA, then hands the keyframe to loop
-closing. Runs synchronously by default (deterministic, and the Python host
-would serialize on the GIL anyway); the queue/abort protocol is preserved so a
-threaded driver can reuse it.
+closing. Runs synchronously by default (deterministic); `start()` launches
+the reference's consumer-thread deployment (LocalMapping.cpp:49-110 thread
+loop): tracking enqueues keyframes and continues, the worker processes them
+with the map update lock held only around the host fuse/gather/apply phases
+— the BA's device solve overlaps the tracker's host work, and a mid-solve
+whole-map transform (IMU init, loop correction) drops the stale write-back
+via Map.transform_epoch (the effect of the reference's RequestStop/abort
+protocol, Tracking.cpp:1509).
 """
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -35,22 +41,110 @@ class LocalMapping:
         # only add per-chunk dispatch round trips — skip it and run each BA
         # as ONE fused device solve.
         self.threaded = threaded
+        # consumer-thread state (start()/stop())
+        self._cv = threading.Condition()
+        self._thread: Optional[threading.Thread] = None
+        self._stop_req = False
+        self.worker_error: Optional[BaseException] = None
+        # reset generation: keyframes enqueued before a reset() must not be
+        # processed into the post-reset map (they are orphans of the cleared
+        # one — the reference's RequestReset drains the queue synchronously,
+        # LocalMapping.cpp:433-464)
+        self._gen = 0
 
     def idle(self) -> bool:
         return self._idle and not self.queue
 
+    # ------------------------------------------------------------------
+    # consumer thread (reference MSLocalMapping::Run, LocalMapping.cpp:49)
+    # ------------------------------------------------------------------
+    def start(self) -> None:
+        """Launch the keyframe-consumer thread. Implies threaded=True (the
+        chunked abort poll), since tracking can now interrupt a running BA."""
+        if self._thread is not None:
+            return
+        self.threaded = True
+        self._stop_req = False
+        self.worker_error = None
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="local_mapping")
+        self._thread.start()
+
+    def stop(self, timeout: float = 120.0) -> None:
+        """Drain the queue, then join the worker. Raises the worker's
+        exception, if any (a SLAM back-end error must not be silent)."""
+        t = self._thread
+        if t is None:
+            return
+        with self._cv:
+            self._stop_req = True
+            self._cv.notify_all()
+        t.join(timeout)
+        self._thread = None
+        if self.worker_error is not None:
+            err, self.worker_error = self.worker_error, None
+            raise err
+
+    def wait_idle(self, timeout: float = 120.0) -> bool:
+        """Block until the queue is drained and the worker is idle (test
+        and shutdown helper)."""
+        import time
+
+        deadline = time.monotonic() + timeout
+        while not self.idle():
+            if self._thread is None or self.worker_error is not None \
+                    or time.monotonic() > deadline:
+                return self.idle()
+            time.sleep(0.002)
+        return True
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self.queue and not self._stop_req:
+                    self._cv.wait(0.05)
+                if not self.queue:
+                    if self._stop_req:
+                        return
+                    continue
+                kf = self.queue.pop(0)
+                gen = self._gen
+                self._idle = False
+            try:
+                if gen == self._gen:
+                    self.process_keyframe(kf)
+            except BaseException as e:  # surface on stop(); stop consuming
+                import traceback
+
+                self.worker_error = e
+                traceback.print_exc()
+                self._idle = True
+                return
+            finally:
+                self._idle = True
+
+    # ------------------------------------------------------------------
     def insert_keyframe(self, kf: KeyFrame) -> None:
         """Queue a keyframe and abort any running BA (the reference sets
         mbAbortBA here, LocalMapping.cpp:118-124). If called re-entrantly
         (from a BA abort-poll or another thread) the enqueued KF is drained
         by the outer process_all loop."""
+        if self._thread is not None:
+            with self._cv:
+                self.queue.append(kf)
+                self.abort_ba = True
+                self._cv.notify_all()
+            return
         self.queue.append(kf)
         self.abort_ba = True
         if not self._processing:
             self.process_all()
 
     def reset(self) -> None:
-        self.queue.clear()
+        with self._cv:
+            self.queue.clear()
+            self._gen += 1
+            self.abort_ba = True  # hurry any in-flight orphan BA
 
     # ------------------------------------------------------------------
     def process_all(self) -> None:
@@ -77,32 +171,50 @@ class LocalMapping:
     def process_keyframe(self, kf: KeyFrame) -> None:
         # Mirror of the reference's mMutexMapUpdate discipline: fuse, BA
         # write-back and connection updates mutate the map, so they run
-        # under the map update lock (re-entrant; only a background-GBA
-        # thread ever contends — see loop_closing.poll_gba/_solve_gba).
-        with self.map.update_lock:
-            self._process_keyframe_locked(kf)
+        # under the map update lock (re-entrant). On the consumer thread the
+        # lock is held per-phase — fuse locked, BA solve UNLOCKED (the
+        # reference's g2o solve also runs outside mMutexMapUpdate), apply
+        # locked — so tracking's per-frame lock hold overlaps the device
+        # solve instead of the whole keyframe.
+        from contextlib import nullcontext
 
-    def _process_keyframe_locked(self, kf: KeyFrame) -> None:
         from ..utils import profiler
 
-        with profiler.timer("local_mapping.fuse"):
-            self.search_in_neighbors(kf)
-        if self.map.n_keyframes() > 2:
-            self.abort_ba = False
-            abort = self._abort_requested if self.threaded else None
-            with profiler.timer("local_mapping.lba"):
-                if self.map.imu_initialized:
-                    inliers = (self.tracking.matches_inliers
-                               if self.tracking is not None else 0)
-                    b_large = inliers > 75  # LocalMapping.cpp:74
-                    local_inertial_ba(kf, self.map, b_large=b_large,
-                                      abort_check=abort)
-                else:
-                    local_bundle_adjustment(
-                        kf, self.map, abort_check=abort)
-        profiler.count("keyframes")
-        if self.loop_closer is not None:
-            self.loop_closer.insert_keyframe(kf)
+        lock = self.map.update_lock
+        on_worker = self._thread is not None
+        ba_lock = lock if on_worker else None
+        gen0 = self._gen
+        # synchronous mode: hold the lock across the whole keyframe (the
+        # only contender is a background-GBA thread and an unlocked gap
+        # would let its apply interleave mid-fuse)
+        whole = nullcontext() if on_worker else lock
+        with whole:
+            with lock:
+                with profiler.timer("local_mapping.fuse"):
+                    self.search_in_neighbors(kf)
+            if self.map.n_keyframes() > 2:
+                self.abort_ba = False
+                abort = self._abort_requested if self.threaded else None
+                with profiler.timer("local_mapping.lba"):
+                    if self.map.imu_initialized:
+                        inliers = (self.tracking.matches_inliers
+                                   if self.tracking is not None else 0)
+                        b_large = inliers > 75  # LocalMapping.cpp:74
+                        local_inertial_ba(kf, self.map, b_large=b_large,
+                                          abort_check=abort,
+                                          map_lock=ba_lock)
+                    else:
+                        local_bundle_adjustment(
+                            kf, self.map, abort_check=abort,
+                            map_lock=ba_lock)
+            profiler.count("keyframes")
+            if self.loop_closer is not None:
+                with lock:
+                    # a reset raced this keyframe: it belongs to the cleared
+                    # map — do not hand it to loop closing (which would
+                    # index the orphan into the fresh map's BoW database)
+                    if self._gen == gen0:
+                        self.loop_closer.insert_keyframe(kf)
 
     # ------------------------------------------------------------------
     def search_in_neighbors(self, kf: KeyFrame) -> None:

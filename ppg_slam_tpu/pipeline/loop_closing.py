@@ -423,6 +423,7 @@ class LoopClosing:
 
     def _correct_loop_impl(self) -> None:
         wm = self.map
+        wm.bump_transform_epoch()  # invalidate in-flight threaded local BAs
         kf = self.current_kf
         # a running background GBA is obsolete once a new loop corrects the
         # map — kill it (reference CorrectLoop :810-834, mbStopGBA)
@@ -760,6 +761,7 @@ class LoopClosing:
         spanning tree with mTcwBefGBA), and unstamped MapPoints follow their
         reference KF's before->after transform."""
         wm = self.map
+        wm.bump_transform_epoch()  # invalidate in-flight threaded local BAs
         kfs = sorted(wm.all_keyframes(), key=lambda k: k.mnId)
         before = {k.mnId: (k.Rcw.copy(), k.tcw.copy()) for k in kfs}
         corrected = set()  # KFs updated in this pass (stamped or chained)

@@ -81,17 +81,22 @@ class System:
                  async_frontend: bool = False, prefetch_batch: int = 4,
                  prefetch_depth: int = 2,
                  threaded_gba: bool = False,
+                 async_mapping: bool = False,
                  desc_transfer: str = "f32", compute_dtype: str = "f32",
                  load_map_path: Optional[str] = None):
         """async_frontend: overlap device extraction of future frames with
         host tracking of the current one (frontend/prefetch.py — the
         reference's thread overlap, System.cpp:106-116). threaded_gba: run
         loop-closure global BA on a background thread with kill/propagate
-        (LoopClosing.cpp:1050). desc_transfer="device" + compute_dtype=
-        "bf16" is the TPU serving configuration (device-side gated
-        matching). load_map_path: resume from a map saved by save_map() —
-        tracking starts LOST and relocalizes into the loaded map (the
-        reference has no persistence, SURVEY.md §5)."""
+        (LoopClosing.cpp:1050). async_mapping: run local mapping (fuse +
+        local BA + loop closing) on its own consumer thread — the
+        reference's MSLocalMapping/MSLoopClosing thread deployment
+        (System.cpp:106-116); tracking no longer waits for keyframe
+        processing. desc_transfer="device" + compute_dtype="bf16" is the
+        TPU serving configuration (device-side gated matching).
+        load_map_path: resume from a map saved by save_map() — tracking
+        starts LOST and relocalizes into the loaded map (the reference has
+        no persistence, SURVEY.md §5)."""
         s = load_settings(settings_path)
         cam = camera_from_settings(s)
         MapEdge.view_cos_th = float(s["view_cos_th"])
@@ -132,6 +137,8 @@ class System:
         self.local_mapping = LocalMapping(self.map,
                                           loop_closer=self.loop_closing,
                                           threaded=threaded_gba)
+        if async_mapping:
+            self.local_mapping.start()
         self.tracking = Tracking(self.map, self.extractor,
                                  local_mapper=self.local_mapping)
         if load_map_path:
@@ -237,6 +244,12 @@ class System:
             save_map(self.map, path)
 
     def shutdown(self, out_dir: str = ".", save_map_path: str = "") -> None:
+        # drain + join the local-mapping consumer thread before reading the
+        # map for the trajectory writers (reference Shutdown RequestFinish
+        # protocol, System.cpp:145-165)
+        self.local_mapping.stop()
+        if self.loop_closing is not None and self.loop_closing.threaded_gba:
+            self.loop_closing.poll_gba(wait=True)
         self.save_trajectory(os.path.join(out_dir, "CameraTrajectory.txt"))
         self.save_keyframe_trajectory(
             os.path.join(out_dir, "KeyFrameTrajectory.txt"))

@@ -1192,6 +1192,10 @@ class Tracking:
             full_inertial_ba(wm, iters=100, loop_kf=0,
                              b_init=(prior_a != 0), prior_g=prior_g,
                              prior_a=prior_a)
+        # whole-map transform: invalidate any in-flight threaded local BA
+        # (the reference RequestStops local mapping around InitializeIMU,
+        # Tracking.cpp:1509)
+        wm.bump_transform_epoch()
         wm.info_map_change()
         if first_init:
             self.t_init = 0.0
@@ -1326,6 +1330,7 @@ class Tracking:
         """System reset (Tracking.cpp:1351-1384): clear the map and state."""
         self.n_resets += 1
         wm = self.map
+        wm.bump_transform_epoch()  # drop any in-flight threaded local BA
         wm.keyframes.clear()
         wm.map_points.clear()
         wm.map_edges.clear()

@@ -39,6 +39,13 @@ class Map:
         self.max_kf_id = 0
         self.change_idx = 0
         self.last_change_idx = 0
+        # global-transform epoch: bumped whenever the WHOLE map is remapped
+        # (IMU-init gravity/scale ApplyScaledRotation, loop correction, GBA
+        # propagation). A threaded local-mapping BA captures the epoch at
+        # gather time and drops its write-back if it changed mid-solve — the
+        # effect of the reference's RequestStop/mbAbortBA protocol
+        # (Tracking.cpp:1509, LocalMapping.cpp:368-431) without blocking.
+        self.transform_epoch = 0
 
         self.imu_initialized = False
         self.inertial_ba1 = False
@@ -55,6 +62,7 @@ class Map:
 
         self.__dict__.update(state)
         self.update_lock = threading.RLock()
+        self.__dict__.setdefault("transform_epoch", 0)  # pre-epoch pickles
 
     # -- element CRUD (Map.cpp:34-180) ---------------------------------------
     def add_keyframe(self, kf: KeyFrame) -> None:
@@ -108,6 +116,10 @@ class Map:
             self.last_change_idx = self.change_idx
             return True
         return False
+
+    def bump_transform_epoch(self) -> None:
+        """Mark a whole-map transform (see transform_epoch above)."""
+        self.transform_epoch += 1
 
     # -- incremental growth (Map.cpp:470-709) -----------------------------------
     def incre_map(self, new_kf: KeyFrame, matcher) -> None:
@@ -261,6 +273,7 @@ class Map:
                               scale_vel: bool = False) -> None:
         """Rotate the world into the gravity frame and rescale: poses,
         velocities, points."""
+        self.bump_transform_epoch()
         Rgw = np.asarray(Rgw, np.float32)
         for kf in self.keyframes:
             # Tcw' = (Tgw * Twc_scaled)^-1 = (Rcw Rgw^T, s*tcw) for t_gw = 0
