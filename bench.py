@@ -156,7 +156,6 @@ def bench_frontend(B=32, n_batches=24, depth=3, kf_interval=8):
     assert feats[0].desc is None and feats[0].desc_dev is not None
     d0 = feats[0].descriptors  # compile the keyframe-rate desc fetch
     assert d0.shape == (feats[0].n_kp, 256)
-    n_kf_fetch = B // kf_interval
 
     # depth-N batch pipeline (a worker-thread finalize overlap was tried
     # and measured WORSE: the single-core host + client-side lock
@@ -170,17 +169,19 @@ def bench_frontend(B=32, n_batches=24, depth=3, kf_interval=8):
         t0 = time.perf_counter()
         h = ex.extract_batch_async(frames)
         pend.append(h)
-        # keyframe-rate descriptor fetches for this batch (async dispatch;
-        # drained one batch later so the transfer overlaps compute)
-        for k in range(n_kf_fetch):
-            buf = ex._fetch_desc_batch_prog(h._desc_dev,
-                                            k * kf_interval)
-            try:
-                buf.copy_to_host_async()
-            except Exception:
-                pass
-            kf_bufs.append(buf)
-        while len(kf_bufs) > n_kf_fetch * (depth - 1):
+        # keyframe-rate descriptor fetch for this batch: ONE fused gather
+        # program + ONE buffer (B/kf_interval frames' descriptors) — every
+        # separately-drained buffer costs a full ~25 ms link round trip,
+        # so per-keyframe fetches were 4 round trips/batch (profiled
+        # ~2 ms/frame of the old 8.5 ms total); drained one batch later so
+        # the transfer overlaps compute
+        buf = ex.fetch_desc_strided(h._desc_dev, kf_interval)
+        try:
+            buf.copy_to_host_async()
+        except Exception:
+            pass
+        kf_bufs.append(buf)
+        while len(kf_bufs) > depth - 1:
             np.asarray(kf_bufs.pop(0))
         feats = pend.pop(0).result()
         assert len(feats) == B

@@ -353,6 +353,17 @@ class PPGExtractor:
             self._fetch_desc_batch_prog = jax.jit(
                 lambda d, b: quantize_desc_i8(
                     jax.lax.dynamic_index_in_dim(d, b, 0, keepdims=False)))
+            # keyframe-rate fetch for a whole frame-batch in ONE program /
+            # ONE host fetch: every separately-drained buffer costs a full
+            # link round trip on tunneled TPUs (~25 ms each, profiled)
+            self._fetch_desc_strided_prog = jax.jit(
+                lambda d, idx: jax.vmap(quantize_desc_i8)(d[idx]))
+
+    def fetch_desc_strided(self, desc_dev_batch, stride: int):
+        """Quantized host fetch of every stride-th frame's descriptors from
+        a batched device descriptor array — one dispatch + one buffer."""
+        idx = jnp.arange(0, desc_dev_batch.shape[0], stride)
+        return self._fetch_desc_strided_prog(desc_dev_batch, idx)
 
     def _unpack(self, buf: np.ndarray) -> dict:
         """Zero-copy views into one fetched per-frame byte buffer."""

@@ -65,8 +65,12 @@ def nms_keypoints(
     neg_inf = jnp.float32(-jnp.inf)
 
     def maxpool(a):
+        # separable (win, win) max: two 1-D passes — exactly equal for max
+        # over a rectangle, ~win/2 x fewer comparisons than the 2-D window
+        a = jax.lax.reduce_window(
+            a, neg_inf, jax.lax.max, (win, 1), (1, 1), "SAME")
         return jax.lax.reduce_window(
-            a, neg_inf, jax.lax.max, (win, win), (1, 1), "SAME")
+            a, neg_inf, jax.lax.max, (1, win), (1, 1), "SAME")
 
     def cond(state):
         cand, _, i = state

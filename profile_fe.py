@@ -48,17 +48,34 @@ def make_frames(n=B):
 
 def slope_time(fn, args, iters=8, label=""):
     """Wall time per call via an N-iteration chain inside ONE jit (the
-    tunnel serializes fetches; chaining isolates device compute)."""
+    tunnel serializes fetches; chaining isolates device compute).
+
+    Each iteration's input is perturbed by carry * 1e-30 (an effective
+    zero XLA cannot prove is zero) — without the data dependency the
+    compiler hoists fn out of the fori_loop and every iteration after the
+    first is free (measured: all-zero slopes)."""
+    import jax.tree_util as jtu
+
+    leaves0, _ = jtu.tree_flatten(args)
+    fi = next((i for i, x in enumerate(leaves0)
+               if hasattr(x, "dtype")
+               and jnp.issubdtype(x.dtype, jnp.inexact)), None)
 
     def chain(n_static, *a):
+        lv, td = jtu.tree_flatten(a)
+
         def body(i, carry):
-            out = fn(*a)
+            l2 = list(lv)
+            if fi is not None:
+                eps = (carry * jnp.float32(1e-30)).astype(l2[fi].dtype)
+                l2[fi] = l2[fi] + eps
+            out = fn(*jtu.tree_unflatten(td, l2))
             # fold a scalar from the output back in to serialize iterations
             s = jax.tree.reduce(
                 lambda acc, x: acc + jnp.sum(x).astype(jnp.float32)
                 if jnp.issubdtype(x.dtype, jnp.number) else acc,
                 out, jnp.float32(0))
-            return carry + s
+            return carry + s * jnp.float32(1e-6)
         return jax.lax.fori_loop(0, n_static, body, jnp.float32(0))
 
     j1 = jax.jit(lambda *a: chain(1, *a))
@@ -171,7 +188,9 @@ def main():
     nk = [f.n_kp for f in feats]
     ne = [len(f.edges) for f in feats]
     nc = [int(s["n_cand"]) for s in stats]
-    ng = [int(np.sum(s["good"])) for s in stats]
+    ng = [int(np.sum(np.unpackbits(s["good_bits"],
+                                   bitorder="little")[: int(s["n_cand"])]))
+          for s in stats]
     print(f"  n_kp:   min {min(nk)} med {int(np.median(nk))} max {max(nk)}",
           file=sys.stderr)
     print(f"  edges:  min {min(ne)} med {int(np.median(ne))} max {max(ne)}",

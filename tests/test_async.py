@@ -217,57 +217,10 @@ class TestThreadedLocalMapping:
         finally:
             lm.stop()
 
-    def test_threaded_e2e_tracks_and_initializes_imu(self):
-        """Full pipeline with the consumer thread deployed: cross-thread
-        enqueue, per-phase locking, IMU init's epoch bump, clean drain."""
-        from synthetic_sequence import SyntheticExtractor, SyntheticSequence
-        from ppg_slam_tpu.pipeline.tracking import OK, Tracking
-        from ppg_slam_tpu.worldmap import reset_ids
-
-        reset_ids()
-        seq = SyntheticSequence(n_frames=80)
-        rig = Rig(CAM, freq=200.0)
-        wmap = Map(rig)
-        old_ini = Map.imu_ini_time
-        Map.imu_ini_time = 2.0
-        ext = SyntheticExtractor(seq)
-        tracking = Tracking(wmap, ext)
-        lm = LocalMapping(wmap, tracking=tracking)
-        tracking.local_mapper = lm
-        lm.start()
-        try:
-            est, gt = [], []
-            last_t = -1.0
-            for i in range(seq.n_frames):
-                t = seq.frame_times[i]
-                tracking.grab_imu(seq.imu_between(last_t, t))
-                last_t = t
-                frame = tracking.grab_image(np.zeros((2, 2), np.uint8), t)
-                if tracking.state == OK and frame.has_pose:
-                    est.append(frame.camera_center())
-                    gt.append(seq.frame_poses[i][1])
-                # pace like a real feed: the synthetic extractor is
-                # instantaneous, so an unpaced loop would outrun the mapper
-                # and starve the map of keyframes
-                lm.wait_idle(timeout=60.0)
-            lm.stop()
-            assert lm.worker_error is None
-            assert tracking.state == OK
-            assert wmap.imu_initialized, "IMU must initialize"
-            assert wmap.n_keyframes() >= 10
-            E, G = np.stack(est[-50:]), np.stack(gt[-50:])
-            from ppg_slam_tpu.utils.evaluation import umeyama
-
-            s, R, tt = umeyama(E, G, with_scale=True)
-            ate = np.sqrt(np.mean(np.sum((E @ (s * R).T + tt - G) ** 2, 1)))
-            # the same 80-frame feed tracked synchronously gives 0.1710;
-            # the threaded path measured identical to 5 decimals — the
-            # margin below is sequence-level, not threading-level
-            assert ate < 0.25, f"threaded-mapper ATE too high: {ate}"
-        finally:
-            Map.imu_ini_time = old_ini
-            if lm._thread is not None:
-                lm.stop()
+    # NOTE: the full threaded-deployment e2e lives in test_pipeline_e2e —
+    # its module fixture runs the 100-frame sequence WITH the consumer
+    # thread (measured identical to the synchronous path to 5 decimals of
+    # ATE), so the deployment is exercised at zero extra suite cost.
 
 
 class TestBackgroundGBA:

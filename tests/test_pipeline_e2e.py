@@ -28,7 +28,12 @@ def umeyama_align(est: np.ndarray, gt: np.ndarray, with_scale=True):
 @pytest.fixture(scope="module")
 def run_sequence():
     # 100 frames: init lands ~frame 12, leaving ~85 OK frames — well above
-    # every assertion margin at ~5/6 of the 120-frame build cost
+    # every assertion margin at ~5/6 of the 120-frame build cost.
+    # Runs in the DEPLOYED threaded-mapper configuration (LocalMapping
+    # consumer thread + per-phase map locking), paced with wait_idle so the
+    # keyframe schedule is deterministic — measured identical to the
+    # synchronous path to 5 decimals of ATE (tests/test_async.py proves the
+    # stale-write-back and reset-generation guards separately).
     seq = SyntheticSequence(n_frames=100)
     rig = Rig(CAM, freq=200.0)
     wmap = Map(rig)
@@ -37,6 +42,7 @@ def run_sequence():
     tracking = Tracking(wmap, ext)
     lm = LocalMapping(wmap, tracking=tracking)
     tracking.local_mapper = lm
+    lm.start()
 
     est = {}
     states = []
@@ -47,28 +53,32 @@ def run_sequence():
         last_t = t
         tracking.grab_imu(imu)
         frame = tracking.grab_image(np.zeros((2, 2), np.uint8), t)
+        # deterministic pacing: the synthetic extractor is instantaneous,
+        # so an unpaced loop would outrun the mapper and starve the map
+        lm.wait_idle(timeout=120.0)
         states.append(tracking.state)
         if tracking.state == OK and frame.has_pose:
             est[i] = frame.camera_center()
+    lm.stop()
     # donate the built map to later modules (tests/map_store.py): modules
     # that only need *a* populated tracked map reuse it instead of paying
     # another multi-minute pipeline build on the 1-core CI host
     import map_store
 
     map_store.put("straight", wmap, seq)
-    return seq, tracking, wmap, est, states
+    return seq, tracking, wmap, est, states, lm
 
 
 class TestPipelineE2E:
     def test_initializes_and_tracks(self, run_sequence):
-        seq, tracking, wmap, est, states = run_sequence
+        seq, tracking, wmap, est, states, lm = run_sequence
         assert states.count(OK) > 60, f"too few OK frames: {states}"
         assert states[-1] == OK, "must be tracking at the end"
         assert wmap.n_keyframes() >= 10
         assert wmap.n_map_points() > 100
 
     def test_imu_initialized_and_metric_scale(self, run_sequence):
-        seq, tracking, wmap, est, states = run_sequence
+        seq, tracking, wmap, est, states, lm = run_sequence
         assert wmap.imu_initialized, "IMU must initialize"
         # with IMU the map becomes metric: Sim3 alignment scale ~ 1
         ids = sorted(est.keys())[-60:]
@@ -79,7 +89,7 @@ class TestPipelineE2E:
         assert abs(s - 1.0) < 0.15, f"metric scale off: {s}"
 
     def test_trajectory_ate(self, run_sequence):
-        seq, tracking, wmap, est, states = run_sequence
+        seq, tracking, wmap, est, states, lm = run_sequence
         ids = sorted(est.keys())
         E = np.stack([est[i] for i in ids])
         G = np.stack([seq.frame_poses[i][1] for i in ids])
@@ -90,6 +100,14 @@ class TestPipelineE2E:
             f"ATE {ate:.4f} m vs trajectory length {traj_len:.2f} m")
 
     def test_ppg_graph_populated(self, run_sequence):
-        seq, tracking, wmap, est, states = run_sequence
+        seq, tracking, wmap, est, states, lm = run_sequence
         assert len(wmap.map_edges) > 20, "MapEdges must be created"
         assert len(wmap.map_colines) > 5, "MapColines must be created"
+
+    def test_threaded_mapper_ran_clean(self, run_sequence):
+        """The fixture deployed the consumer-thread local mapper: it must
+        have processed every keyframe without an exception and stopped
+        (stop() re-raises any worker error)."""
+        seq, tracking, wmap, est, states, lm = run_sequence
+        assert lm.worker_error is None
+        assert lm._thread is None and lm.idle()
