@@ -80,6 +80,71 @@ def pack_binary_mask(mask_bool: jax.Array) -> jax.Array:
     return packed.astype(jnp.bfloat16)
 
 
+SBLK = 2048  # pallas sample-block size (VMEM one-hot: SBLK x H bf16)
+
+
+@functools.lru_cache(None)
+def _pallas_sampling() -> bool:
+    """Opt-in (PPG_PALLAS=1) Pallas route for bulk nearest sampling.
+
+    The kernel builds each SBLK one-hot block in VMEM and never spills it
+    to HBM — in isolation it matches the XLA path bit-for-bit — but
+    measured INSIDE the batched front-end program it is a net loss
+    (8.8 vs 6.3 ms/frame): a Mosaic call inside the decode's lax.map is an
+    opaque boundary XLA cannot fuse or software-pipeline across, which
+    costs more than the one-hot HBM spill it avoids. Kept as opt-in
+    infrastructure + spec (tests pin pallas == XLA semantics)."""
+    import os
+
+    if not os.environ.get("PPG_PALLAS"):
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def _nearest_binary_packed_kernel(y_ref, x_ref, mask_ref, out_ref):
+    """One SBLK block: one-hot row pick (MXU, VMEM-resident) + byte select
+    + exact power-of-two bit extract. Bit-identical math to the XLA path."""
+    h, w8 = mask_ref.shape
+    yc = y_ref[0, 0, :]
+    xc = x_ref[0, 0, :]
+    hgrid = jax.lax.broadcasted_iota(jnp.int32, (SBLK, h), 1)
+    # f32 operands: Mosaic rejects bf16 lhs for this dot shape ("Bad lhs
+    # type"); exactness is unchanged (0/1 one-hot x bytes <= 255) and both
+    # stay VMEM-resident, which is the point of the kernel
+    R = (yc[:, None] == hgrid).astype(jnp.float32)
+    rows = jnp.dot(R, mask_ref[:].astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    xb = xc // 8
+    w8grid = jax.lax.broadcasted_iota(jnp.int32, (SBLK, w8), 1)
+    byte = jnp.sum(jnp.where(xb[:, None] == w8grid, rows, 0.0), axis=1)
+    p = jnp.exp2((xc - xb * 8).astype(jnp.float32))
+    q = jnp.floor(byte / p)
+    out_ref[0, 0, :] = q - 2.0 * jnp.floor(q * 0.5)
+
+
+def _nearest_binary_packed_pallas(packed_bf16, ys, xs, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = ys.shape[0]
+    assert n % SBLK == 0, n
+    nblk = n // SBLK
+    # (nblk, 1, SBLK) with (1, 1, SBLK) blocks: the last two block dims
+    # equal the array dims, satisfying the Mosaic (8, 128)-tiling rule
+    spec = pl.BlockSpec((1, 1, SBLK), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _nearest_binary_packed_kernel,
+        grid=(nblk,),
+        in_specs=[spec, spec,
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],  # whole mask
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((nblk, 1, SBLK), jnp.float32),
+        interpret=interpret,
+    )(ys.reshape(nblk, 1, SBLK), xs.reshape(nblk, 1, SBLK), packed_bf16)
+    return out.reshape(-1) > 0.5
+
+
 def nearest_binary_packed(packed_bf16: jax.Array, ys: jax.Array,
                           xs: jax.Array):
     """nearest_binary against a pack_binary_mask table: 8x narrower matmul.
@@ -87,9 +152,12 @@ def nearest_binary_packed(packed_bf16: jax.Array, ys: jax.Array,
     The one-hot row pick returns each sample's byte exactly (0/1 one-hot x
     integers <= 255: bf16-exact); the bit is then extracted with exact f32
     power-of-two arithmetic. Semantics identical to nearest_binary on the
-    unpacked mask."""
+    unpacked mask. On TPU the block runs as a Pallas kernel with the
+    one-hot VMEM-resident (see _pallas_sampling)."""
     h, w8 = packed_bf16.shape
     n = ys.shape[0]
+    if _pallas_sampling() and n % SBLK == 0:
+        return _nearest_binary_packed_pallas(packed_bf16, ys, xs)
     hgrid = jnp.arange(h, dtype=jnp.int32)[None, :]
     w8grid = jnp.arange(w8, dtype=jnp.int32)[None, :]
 

@@ -194,3 +194,24 @@ class TestProbeMask:
                             exp = False
                             break
                 assert got[i, j] == exp, (i, j)
+
+
+class TestPallasSampler:
+    def test_pallas_kernel_matches_xla_path(self):
+        """The opt-in Pallas nearest-sampler (ops/sampling.py, PPG_PALLAS=1)
+        must be bit-identical to the XLA one-hot path (interpret mode on
+        the CPU test backend)."""
+        import jax.numpy as jnp
+
+        from ppg_slam_tpu.ops import sampling as S
+
+        rng = np.random.RandomState(7)
+        mask = S.pack_binary_mask(jnp.asarray(rng.rand(480, 752) > 0.7))
+        n = 2 * S.SBLK
+        ys = jnp.asarray(rng.randint(0, 480, n).astype(np.int32))
+        xs = jnp.asarray(rng.randint(0, 752, n).astype(np.int32))
+        ref = np.asarray(S.nearest_binary_packed(mask, ys, xs))
+        pal = np.asarray(S._nearest_binary_packed_pallas(
+            mask, ys, xs, interpret=True))
+        assert ref.dtype == pal.dtype == np.bool_
+        np.testing.assert_array_equal(ref, pal)
