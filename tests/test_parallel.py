@@ -155,12 +155,15 @@ class TestEntryPointsOnMesh:
             np.testing.assert_allclose(t2, t1, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     """The driver's multichip gate, run in-process on the CPU mesh.
 
     Covers dryrun_sharded_ba_step(mesh) itself too — dryrun_multichip is a
     thin wrapper around it (__graft_entry__.py:96-98), so a separate direct
     call would recompile the same ~12 s of programs for no extra coverage.
+    Slow lane: the driver independently runs this exact gate every round
+    (MULTICHIP_r*.json), so the default lane need not pay its ~23 s again.
     """
     import importlib.util
     import os
