@@ -867,14 +867,19 @@ class Tracking:
         frame.has_pose = True
         frame.map_points = [None] * frame.N
         th = 15
+        # ONE device dispatch with the WIDE (2*th) gate serves both passes:
+        # the matcher's spatial gate is the host-side features_in_area(th)
+        # window, and the device rows are only consulted at those indices —
+        # a wide-rect row is a superset, so the narrow pass reads identical
+        # distances (up to the per-query K-cap, counted in rows.overflow).
+        # Saves a ~25 ms dispatch round trip whenever the retry fires.
+        dists = self._device_rows_for_last_frame(frame, 2 * th)
         n = matcher.search_by_projection_last_frame(
-            frame, self.last_frame, th,
-            dists=self._device_rows_for_last_frame(frame, th))
+            frame, self.last_frame, th, dists=dists)
         if n < 20:
             frame.map_points = [None] * frame.N
             n = matcher.search_by_projection_last_frame(
-                frame, self.last_frame, 2 * th,
-                dists=self._device_rows_for_last_frame(frame, 2 * th))
+                frame, self.last_frame, 2 * th, dists=dists)
         if n < 20:
             return False
         self._run_pose_optimization(frame)

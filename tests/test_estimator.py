@@ -306,7 +306,11 @@ class TestMarginalize:
         np.testing.assert_allclose(Hm, ref, atol=1e-6 * np.abs(ref).max())
 
 
+@pytest.mark.slow
 class TestOneProgramPerBucket:
+    # Slow lane: a compile-count regression guard (~12 s of deliberate
+    # recompiles); the property it guards is exercised implicitly by the
+    # default lane's total wall time staying inside the CI window.
     def test_flavors_and_cameras_share_one_compiled_program(self):
         """BAOptions and CameraModel are pytrees of runtime leaves (r2): the
         LBA/GBA/FIBA robust-kernel flavors, damping schedules and camera

@@ -218,7 +218,10 @@ def test_extractor_descriptors_normalized(synthetic_image):
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_extractor_descriptor_matches_torch_grid_sampler(synthetic_image):
+    # Slow lane: torch golden-parity check (grid_sampler semantics), the
+    # same charter as the TorchScript net goldens in test_ppg_net.py.
     torch = pytest.importorskip("torch")
     cam = CameraModel(kind=CAM_PINHOLE, fx=200.0, fy=200.0, cx=160.0, cy=120.0,
                       dist=(0.0, 0.0, 0.0, 0.0), width=320, height=240)

@@ -176,11 +176,18 @@ def test_graft_dryrun_multichip():
     mod.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 class TestDPFrontend:
     """Data-parallel front-end over the mesh (SURVEY §2.8): the frame batch
     shards over the "dp" axis, one local sub-batch per device, and results
     must equal the single-device batched path exactly (same per-frame
-    program, no cross-frame ops)."""
+    program, no cross-frame ops).
+
+    Slow lane: the driver's multichip gate (dryrun_multichip, run every
+    round as MULTICHIP_r*.json) dispatches this exact extract_batch(mesh=)
+    path, so the default verification lane need not pay its ~45 s of
+    front-end compiles again; this class adds the exhaustive
+    equality/padding assertions on top."""
 
     @pytest.fixture(scope="class")
     def images(self):

@@ -27,14 +27,16 @@ def umeyama_align(est: np.ndarray, gt: np.ndarray, with_scale=True):
 
 @pytest.fixture(scope="module")
 def run_sequence():
-    # 100 frames: init lands ~frame 12, leaving ~85 OK frames — well above
-    # every assertion margin at ~5/6 of the 120-frame build cost.
+    # 90 frames: init lands ~frame 12, leaving ~75 OK frames — above every
+    # assertion margin at ~3/4 of the original 120-frame build cost (80
+    # frames was tried and left the metric-scale recovery right at the
+    # 0.15 tolerance edge: the IMU needs the extra 0.5 s of excitation).
     # Runs in the DEPLOYED threaded-mapper configuration (LocalMapping
     # consumer thread + per-phase map locking), paced with wait_idle so the
     # keyframe schedule is deterministic — measured identical to the
     # synchronous path to 5 decimals of ATE (tests/test_async.py proves the
     # stale-write-back and reset-generation guards separately).
-    seq = SyntheticSequence(n_frames=100)
+    seq = SyntheticSequence(n_frames=90)
     rig = Rig(CAM, freq=200.0)
     wmap = Map(rig)
     Map.imu_ini_time = 2.0  # speed up VIBA scheduling in the test
@@ -72,7 +74,7 @@ def run_sequence():
 class TestPipelineE2E:
     def test_initializes_and_tracks(self, run_sequence):
         seq, tracking, wmap, est, states, lm = run_sequence
-        assert states.count(OK) > 60, f"too few OK frames: {states}"
+        assert states.count(OK) > 55, f"too few OK frames: {states}"
         assert states[-1] == OK, "must be tracking at the end"
         assert wmap.n_keyframes() >= 10
         assert wmap.n_map_points() > 100
@@ -81,7 +83,7 @@ class TestPipelineE2E:
         seq, tracking, wmap, est, states, lm = run_sequence
         assert wmap.imu_initialized, "IMU must initialize"
         # with IMU the map becomes metric: Sim3 alignment scale ~ 1
-        ids = sorted(est.keys())[-60:]
+        ids = sorted(est.keys())[-50:]
         E = np.stack([est[i] for i in ids])
         G = np.stack([
             seq.frame_poses[i][1] for i in ids])  # camera==body center
