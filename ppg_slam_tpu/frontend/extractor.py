@@ -429,12 +429,20 @@ class PPGExtractor:
             self._dp_programs[mesh] = prog
         return prog
 
-    def extract_batch_async(self, images: List[np.ndarray],
+    def extract_batch_async(self, images,
                             mesh=None) -> "_BatchHandle":
-        stack = jnp.asarray(np.stack(images))
+        """images: a list of (H, W) uint8 host frames, or an already
+        device-resident (B, H, W) uint8 `jax.Array` (pre-staged feed — the
+        upload then rides whatever pipeline the caller arranged)."""
+        if isinstance(images, jax.Array):
+            stack = images
+            n_images = int(stack.shape[0])
+        else:
+            stack = jnp.asarray(np.stack(images))
+            n_images = len(images)
         assert stack.ndim == 3, "batch of single-channel images"
         if mesh is not None:
-            pad = (-len(images)) % mesh.size
+            pad = (-n_images) % mesh.size
             if pad:  # fixed per-device shape: repeat the tail frame
                 stack = jnp.concatenate(
                     [stack, jnp.repeat(stack[-1:], pad, axis=0)])
@@ -448,8 +456,8 @@ class PPGExtractor:
             out = prog(self.params, stack, None, None, None,
                        None)
         if self.desc_transfer == "device":
-            return _BatchHandle(self, out[0], len(images), desc_dev=out[1])
-        return _BatchHandle(self, out, len(images))
+            return _BatchHandle(self, out[0], n_images, desc_dev=out[1])
+        return _BatchHandle(self, out, n_images)
 
     # -- host finish ------------------------------------------------------
     def fetch_descriptors(self, desc_dev, n_kp: int) -> np.ndarray:
