@@ -609,20 +609,31 @@ def bench_solver_table(iters=4):
         args = (states, jnp.asarray(points), prob, jnp.asarray(kf_dof),
                 jnp.ones(n_mp, bool), jnp.eye(3, dtype=jnp.float32),
                 jnp.zeros(3, jnp.float32), cam, opts)
-        st, pts, info = solve_ba(*args)
-        float(np.asarray(info["final_chi2"]))
-        ts = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            st, pts, info = solve_ba(*args)
-            float(np.asarray(info["final_chi2"]))
-            ts.append(time.perf_counter() - t0)
-        ms = min(ts) * 1e3
-        rows.append((n_kf, n_mp, n_obs, ms, ms / iters))
-    log("BA solver scaling (one-hot MXU assembly):")
-    log("  KFs   MPs    obs    solve-ms  ms/iter")
+        # slope-timed per-iteration device cost: a sync solve pays ~2 link
+        # round trips (25-40 ms each on this harness), which would swamp
+        # the per-iter number — time iters=2 and iters=6 and divide
+        def run_ms(it):
+            o = BAOptions(iters=it, lambda0=1e-2, tol=0.0)
+            a = args[:-1] + (o,)
+            solve_ba(*a)  # warm/compile
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _, _, info = solve_ba(*a)
+                float(np.asarray(info["final_chi2"]))
+                ts.append(time.perf_counter() - t0)
+            return min(ts) * 1e3
+
+        log(f"  [solver table: {n_kf}-KF bucket compiling/timing]")
+        t2 = run_ms(2)
+        log(f"  [solver table: {n_kf}-KF bucket 2it done]")
+        t6 = run_ms(6)
+        rows.append((n_kf, n_mp, n_obs, t6, (t6 - t2) / 4.0))
+    log("BA solver scaling (one-hot MXU assembly; per-iter slope-timed "
+        "iters 2 vs 6 to cancel the harness round trips):")
+    log("  KFs   MPs    obs    6it-solve-ms  device-ms/iter")
     for n_kf, n_mp, n_obs, ms, mpi in rows:
-        log(f"  {n_kf:<5d} {n_mp:<6d} {n_obs:<6d} {ms:8.1f}  {mpi:7.1f}")
+        log(f"  {n_kf:<5d} {n_mp:<6d} {n_obs:<6d} {ms:10.1f}  {mpi:9.1f}")
 
 
 def _e2e_cam():

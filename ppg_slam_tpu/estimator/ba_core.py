@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -297,6 +298,12 @@ _PREC_EXACT = jax.lax.Precision.HIGHEST
 
 
 def _use_onehot() -> bool:
+    # PPG_FORCE_ONEHOT=1 forces the accelerator (one-hot matmul) assembly
+    # on CPU so tests can assert both paths build identical normal
+    # equations; 0/unset keeps the backend-appropriate default.
+    force = os.environ.get("PPG_FORCE_ONEHOT")
+    if force is not None:
+        return force == "1"
     return jax.default_backend() != "cpu"
 
 
@@ -336,7 +343,15 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     """One linearization: whitened residuals, Jacobians, robust weights.
 
     Returns (total_chi2, assembled Hpp (N15, N15), b_p (N15,), Hll (M,3,3),
-    b_l (M,3), W (M, 3, N15), coline terms for refinement).
+    b_l (M,3), W (M, 3, N*6), coline terms for refinement).
+
+    W spans only the 6 POSE columns of each keyframe state: reprojection is
+    the only residual family coupling landmarks to keyframes, and its
+    Jacobian w.r.t. velocity/bias is structurally zero — carrying the full
+    15 columns made the W assembly (the dominant one-hot matmul,
+    O(obs x M x N x cols)) 2.5x more expensive for exactly-zero work.
+    solve_ba pads the visual Schur/rhs contributions back into the 15-DOF
+    layout at static offsets.
 
     Under `shard_map` (axis = mesh axis name; states/points replicated,
     every BAProblem residual family sharded on its leading dim) each device
@@ -353,7 +368,7 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     b_p = jnp.zeros((n, DOF), dtype)
     Hll = jnp.zeros((m, 3, 3), dtype)
     b_l = jnp.zeros((m, 3), dtype)
-    W = jnp.zeros((m, 3, n15), dtype)
+    W = jnp.zeros((m, 3, n * 6), dtype)  # pose columns only (see docstring)
     chi2_sum = jnp.zeros((), dtype)
 
     dof_mask = kf_dof.astype(dtype)  # (N, 15)
@@ -368,13 +383,17 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     Xg = _sel(E_mp, points, prob.r_mp)
 
     def reproj_one(R, t, X, uv):
-        r = res_fn(jnp.zeros(DOF, dtype), jnp.zeros(3, dtype), R, t, X, uv)
+        # 6-DOF pose tangent only: reprojection does not depend on
+        # velocity/bias, so the other 9 Jacobian columns are exactly zero
+        # — not computing them halves the jacfwd tangents (9 vs 18) and
+        # shrinks every downstream assembly matmul
+        r = res_fn(jnp.zeros(6, dtype), jnp.zeros(3, dtype), R, t, X, uv)
         Jk, Jx = jax.jacfwd(res_fn, argnums=(0, 1))(
-            jnp.zeros(DOF, dtype), jnp.zeros(3, dtype), R, t, X, uv
+            jnp.zeros(6, dtype), jnp.zeros(3, dtype), R, t, X, uv
         )
         return r, Jk, Jx
 
-    r, Jk, Jx = jax.vmap(reproj_one)(Rg, tg, Xg, prob.r_uv)
+    r, Jk, Jx = jax.vmap(reproj_one)(Rg, tg, Xg, prob.r_uv)  # Jk: (O, 2, 6)
     rv = prob.r_valid[:, None]
     r = jnp.where(rv, r, 0.0)
     Jk = jnp.where(rv[..., None], Jk, 0.0)
@@ -388,33 +407,37 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
                   0.0)
     )
     # apply free masks to Jacobian columns (mask gathers = exact matmuls)
-    Jk = Jk * _sel(E_kf, dof_mask, prob.r_kf)[:, None, :]
+    Jk = Jk * _sel(E_kf, dof_mask[:, :6], prob.r_kf)[:, None, :]
     Jx = Jx * _sel(E_mp, mp_mask[:, None], prob.r_mp)[:, None, :]
     sw = w[:, None, None]
+    pad9 = ((0, 0), (0, DOF - 6), (0, DOF - 6))
+
     # assembly: E^T-matmuls on MXU; scatter-adds on CPU
-    blocks_kk = sw * jnp.einsum("odi,odj->oij", Jk, Jk)
+    blocks_kk = sw * jnp.einsum("odi,odj->oij", Jk, Jk)    # (O, 6, 6)
     if E_kf is None:
-        Hpp = Hpp.at[prob.r_kf, :, prob.r_kf, :].add(blocks_kk)
+        Hpp = Hpp.at[prob.r_kf, :, prob.r_kf, :].add(
+            jnp.pad(blocks_kk, pad9))
     else:
-        Hpp = Hpp.at[jnp.arange(n), :, jnp.arange(n), :].add(
-            _accum_into(jnp.zeros((n, DOF, DOF), dtype), E_kf, prob.r_kf,
-                        blocks_kk))
-    b_p = _accum_into(b_p, E_kf, prob.r_kf,
-                      w[:, None] * jnp.einsum("odi,od->oi", Jk, r))
+        Hpp = Hpp.at[jnp.arange(n), :, jnp.arange(n), :].add(jnp.pad(
+            _accum_into(jnp.zeros((n, 6, 6), dtype), E_kf, prob.r_kf,
+                        blocks_kk), pad9))
+    bacc = _accum_into(jnp.zeros((n, 6), dtype), E_kf, prob.r_kf,
+                       w[:, None] * jnp.einsum("odi,od->oi", Jk, r))
+    b_p = b_p + jnp.pad(bacc, ((0, 0), (0, DOF - 6)))
     Hll = _accum_into(Hll, E_mp, prob.r_mp,
                       sw * jnp.einsum("odi,odj->oij", Jx, Jx))
     b_l = _accum_into(b_l, E_mp, prob.r_mp,
                       w[:, None] * jnp.einsum("odi,od->oi", Jx, r))
-    # W[m, i, n*15+k]: per-obs (3,15) block into its KF column band
-    Bw = sw * jnp.einsum("odi,odj->oij", Jx, Jk)          # (O, 3, 15)
+    # W[m, i, n*6+k]: per-obs (3,6) block into its KF pose-column band
+    Bw = sw * jnp.einsum("odi,odj->oij", Jx, Jk)          # (O, 3, 6)
     if E_kf is None:
-        cols = ((prob.r_kf * DOF)[:, None, None]
-                + jnp.arange(DOF)[None, None, :])
+        cols = ((prob.r_kf * 6)[:, None, None]
+                + jnp.arange(6)[None, None, :])
         W = W.at[prob.r_mp[:, None, None],
                  jnp.arange(3)[None, :, None], cols].add(Bw)
     else:
         C1 = (E_kf[:, None, :, None] * Bw[:, :, None, :]).reshape(
-            E_kf.shape[0], 3, n15)                         # (O, 3, N15)
+            E_kf.shape[0], 3, n * 6)                       # (O, 3, N6)
         W = _accum_into(W, E_mp, prob.r_mp, C1)
 
     # ---- colines --------------------------------------------------------
@@ -681,11 +704,20 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
         Hll_r = Hll + (lam + 1e-8) * eye3[None]
         Hll_inv = jnp.linalg.inv(Hll_r)
 
-        # Schur: S = Hpp - W^T Hll^-1 W; rhs = b_p - W^T Hll^-1 b_l
-        HinvW = jnp.einsum("mij,mjp->mip", Hll_inv, W)       # (M, 3, N15)
-        S = Hpp - jnp.einsum("mip,miq->pq", W, HinvW)
-        rhs = b_p - jnp.einsum("mip,mi->p", W,
-                               jnp.einsum("mij,mj->mi", Hll_inv, b_l))
+        # Schur: S = Hpp - W^T Hll^-1 W; rhs = b_p - W^T Hll^-1 b_l.
+        # W spans only the 6 pose columns per KF (reprojection is the only
+        # landmark-coupled family) — compute the visual correction in the
+        # compact (N6) layout and pad it into the 15-DOF blocks at static
+        # offsets.
+        HinvW = jnp.einsum("mij,mjp->mip", Hll_inv, W)       # (M, 3, N6)
+        S6 = jnp.einsum("mip,miq->pq", W, HinvW).reshape(n, 6, n, 6)
+        S = Hpp - jnp.pad(
+            S6, ((0, 0), (0, DOF - 6), (0, 0), (0, DOF - 6))).reshape(
+            n15, n15)
+        r6 = jnp.einsum("mip,mi->p", W,
+                        jnp.einsum("mij,mj->mi", Hll_inv, b_l))
+        rhs = b_p - jnp.pad(r6.reshape(n, 6),
+                            ((0, 0), (0, DOF - 6))).reshape(n15)
 
         # damping + fixed-DOF handling
         S = S + lam * jnp.eye(n15, dtype=dtype)
@@ -701,7 +733,8 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
         # preconditioned by the block-diagonal inverse — exact coline coupling
         # without a sparse factorization (the reference solves the full sparse
         # system instead; see module docstring).
-        rhs_l = -(b_l + jnp.einsum("mip,p->mi", W, dx_p))
+        dx_p6 = dx_p.reshape(n, DOF)[:, :6].reshape(n * 6)
+        rhs_l = -(b_l + jnp.einsum("mip,p->mi", W, dx_p6))
         rc, Js, wc, Ec = coline_terms
 
         c_idx = prob.c_idx
