@@ -86,6 +86,57 @@ def _kf_mp_floors() -> tuple:
     return (16, 512) if jax.default_backend() != "cpu" else (32, 1024)
 
 
+def _bucket_nm(n: int, m: int) -> Tuple[int, int]:
+    """Padded (KF, MP) slot counts — the shared bucket formula used by both
+    the problem assembler (slot layout needs the padded M up front) and
+    _padded_solve (states/points padding)."""
+    import os
+
+    if os.environ.get("PPG_NO_PAD"):
+        return n, m
+    coarse = _coarse_buckets()
+    kf_lo, mp_lo = _kf_mp_floors()
+    return (_pow2(n, lo=kf_lo if coarse else 4),
+            _pow2(m, lo=mp_lo if coarse else 128))
+
+
+def _use_slots() -> bool:
+    """Slot-major observation layout (ba_core.solve_ba slot_k>0) — the
+    large-window scaling fix — is used exactly where the one-hot MXU
+    assembly runs: on the CPU scatter path slotting only inflates the
+    padded obs count without removing any matmul. PPG_SLOTS=0/1 forces."""
+    import os
+
+    v = os.environ.get("PPG_SLOTS")
+    if v is not None:
+        return v == "1"
+    from .ba_core import _use_onehot
+
+    return _use_onehot()
+
+
+def _slot_layout(r_mp: np.ndarray, M: int):
+    """Slot-major observation placement: row = mp*K + rank for the first K
+    observations of each landmark (K = pow2 of the max per-landmark count,
+    4..32), overflow observations appended as a flat tail. Returns
+    (rows, slot_k, n_tail): rows[i] is the solver row of observation i."""
+    n = len(r_mp)
+    counts = np.bincount(r_mp, minlength=M) if n else np.zeros(M, np.int64)
+    kmax = int(counts.max()) if n else 0
+    K = min(1 << max(2, (max(kmax, 1) - 1).bit_length()), 32)
+    order = np.argsort(r_mp, kind="stable")
+    sorted_mp = r_mp[order]
+    starts = np.zeros(M, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    rank = np.arange(n) - starts[sorted_mp]
+    ov = rank >= K
+    rows_sorted = sorted_mp.astype(np.int64) * K + np.minimum(rank, K - 1)
+    rows_sorted[ov] = M * K + np.arange(int(ov.sum()))
+    rows = np.empty(n, np.int64)
+    rows[order] = rows_sorted
+    return rows, K, int(ov.sum())
+
+
 def _sqrt_info_psd(M: np.ndarray) -> np.ndarray:
     """PSD-projected inverse square root used for whitening (the reference
     PSD-projects Info = C^-1, G2oEdge.cpp EdgeInertial ctor)."""
@@ -97,7 +148,8 @@ def _sqrt_info_psd(M: np.ndarray) -> np.ndarray:
 
 
 def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
-                  opts, abort_check=None, chunk: int = 2, mesh=None):
+                  opts, abort_check=None, chunk: int = 2, mesh=None,
+                  slot_k: int = 0):
     """solve_ba with KF/MP slot counts padded to pow2 buckets.
 
     mesh: optional jax.sharding.Mesh — routes the solve through the
@@ -115,13 +167,7 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
 
     n = int(kf_dof.shape[0])
     m = int(mp_free.shape[0])
-    if os.environ.get("PPG_NO_PAD"):  # A/B debugging escape hatch
-        N, M = n, m
-    else:
-        coarse = _coarse_buckets()
-        kf_lo, mp_lo = _kf_mp_floors()
-        N = _pow2(n, lo=kf_lo if coarse else 4)
-        M = _pow2(m, lo=mp_lo if coarse else 128)
+    N, M = _bucket_nm(n, m)
     if N != n:
         # numpy padding: device-side concatenates compile one program per
         # (n -> N) shape pair — states/points arrive as numpy from the
@@ -143,13 +189,15 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
     args = (prob, np.asarray(kf_dof), np.asarray(mp_free),
             rig.Rcb, rig.tcb, rig.cam)
     if mesh is not None:
+        # the sharded solver treats the problem as flat — a slot-major
+        # layout is a valid flat layout, so no slot_k is threaded through
         from ..parallel.sharded_ba import solve_ba_sharded
 
         def _solve(st_, pts_, o, **kw):
             return solve_ba_sharded(st_, pts_, *args, o, mesh, **kw)
     else:
         def _solve(st_, pts_, o, **kw):
-            return solve_ba(st_, pts_, *args, o, **kw)
+            return solve_ba(st_, pts_, *args, o, slot_k=slot_k, **kw)
     def _start_fetch(st, pts, info):
         """Enqueue the D2H of every array the host post-pass reads right
         after the solve dispatch — a late synchronous fetch serializes
@@ -317,9 +365,26 @@ def _np_problem_template(O: int, C: int, L: int, P: int, B: int):
 
 
 def _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w, links=None, priors=None,
-                 bias_priors=None) -> BAProblem:
+                 bias_priors=None, n_mp: Optional[int] = None
+                 ) -> Tuple[BAProblem, int, np.ndarray]:
+    """Pad residual families to pow2 buckets. Returns (prob, slot_k,
+    obs_pos): when the one-hot assembly is active and n_mp is given, the
+    observations are laid out SLOT-MAJOR (ba_core slot layout; obs_pos[i]
+    is the solver row of input observation i) so large windows solve with
+    O(M x K x N) instead of O(obs x M x N) assembly; otherwise slot_k=0
+    and obs_pos is the identity."""
     coarse = _coarse_buckets()
-    O = _pow2(len(r_kf), lo=_obs_floor() if coarse else 64)
+    n = len(r_kf)
+    slot_k = 0
+    obs_pos = np.arange(n, dtype=np.int64)
+    if n_mp is not None and n and _use_slots():
+        M = _bucket_nm(1, n_mp)[1]
+        rows, slot_k, n_tail = _slot_layout(np.asarray(r_mp), M)
+        O = M * slot_k + (_pow2(n_tail, lo=256 if coarse else 16)
+                          if n_tail else 0)
+        obs_pos = rows
+    else:
+        O = _pow2(n, lo=_obs_floor() if coarse else 64)
     C = _pow2(len(c_idx), lo=256 if coarse else 16)
     L = _pow2(len(links[0]) if links else 1, lo=64 if coarse else 4)
     P = 1
@@ -339,13 +404,26 @@ def _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w, links=None, priors=None,
         return a
 
     upd = {}
-    n = len(r_kf)
-    upd["r_kf"] = put("r_kf", r_kf)
-    upd["r_mp"] = put("r_mp", r_mp)
-    upd["r_uv"] = put("r_uv", r_uv)
-    rv = np.zeros(O, bool)
-    rv[:n] = True
-    upd["r_valid"] = rv
+    if slot_k:
+        rkf = np.zeros(O, np.int32)
+        rkf[obs_pos] = r_kf
+        # contract: r_mp[o] == o // K for every slot row (incl. padded)
+        rmp = np.zeros(O, np.int32)
+        rmp[: M * slot_k] = np.arange(M * slot_k, dtype=np.int64) // slot_k
+        rmp[obs_pos] = r_mp
+        ruv = np.zeros((O, 2), np.float32)
+        ruv[obs_pos] = r_uv
+        rv = np.zeros(O, bool)
+        rv[obs_pos] = True
+        upd["r_kf"], upd["r_mp"], upd["r_uv"], upd["r_valid"] = (
+            rkf, rmp, ruv, rv)
+    else:
+        upd["r_kf"] = put("r_kf", r_kf)
+        upd["r_mp"] = put("r_mp", r_mp)
+        upd["r_uv"] = put("r_uv", r_uv)
+        rv = np.zeros(O, bool)
+        rv[:n] = True
+        upd["r_valid"] = rv
     nc = len(c_idx)
     upd["c_idx"] = put("c_idx", c_idx)
     upd["c_w"] = put("c_w", c_w)
@@ -376,7 +454,8 @@ def _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w, links=None, priors=None,
         bv = np.zeros(B, bool)
         bv[:nb] = True
         upd["bp_valid"] = bv
-    return prob._replace(**{k: jnp.asarray(v) for k, v in upd.items()})
+    return (prob._replace(**{k: jnp.asarray(v) for k, v in upd.items()}),
+            slot_k, obs_pos)
 
 
 def _gather_links(kfs: List[KeyFrame], kf_index: Dict[int, int],
@@ -420,11 +499,17 @@ def _gather_links(kfs: List[KeyFrame], kf_index: Dict[int, int],
 
 
 def _apply_outlier_pass(info, refs, close_depth_aware: bool = False,
-                        close_flags: Optional[np.ndarray] = None) -> int:
+                        close_flags: Optional[np.ndarray] = None,
+                        obs_pos: Optional[np.ndarray] = None) -> int:
     """Erase observations with chi2 > 5.991 or negative depth (the LBA
-    post-pass, OptimizerLBA.cpp:259-?, :743-750)."""
-    chi2 = np.asarray(info["obs_chi2"])[: len(refs)]
-    depth = np.asarray(info["obs_depth"])[: len(refs)]
+    post-pass, OptimizerLBA.cpp:259-?, :743-750). obs_pos maps input
+    observation i -> solver row (slot-major layouts); identity if None."""
+    chi2 = np.asarray(info["obs_chi2"])
+    depth = np.asarray(info["obs_depth"])
+    if obs_pos is None:
+        chi2, depth = chi2[: len(refs)], depth[: len(refs)]
+    else:
+        chi2, depth = chi2[obs_pos], depth[obs_pos]
     n_bad = 0
     for k, (kf, mp, idx) in enumerate(refs):
         th = CHI2_MONO
@@ -502,7 +587,8 @@ def local_bundle_adjustment(kf: KeyFrame, wmap: Map,
                                                     mp_index)
             c_idx, c_w, _ = _gather_colines(wmap, mp_index)
         with profiler.timer("lba.gather.pad"):
-            prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w)
+            prob, slot_k, obs_pos = _pad_problem(r_kf, r_mp, r_uv, c_idx,
+                                                 c_w, n_mp=len(mps))
 
         kf_dof = np.zeros((len(kfs), 15), bool)
         kf_dof[: len(local), :6] = True
@@ -521,7 +607,8 @@ def local_bundle_adjustment(kf: KeyFrame, wmap: Map,
     with profiler.timer(bucket), profiler.timer("lba.solve"):
         st, pts, info = _padded_solve(states, points, prob, kf_dof,
                                       np.asarray(mp_free), rig, opts,
-                                      abort_check=abort_check)
+                                      abort_check=abort_check,
+                                      slot_k=slot_k)
 
     with profiler.timer("lba.apply"):
         with profiler.timer("lba.apply.fetch"):
@@ -538,7 +625,7 @@ def local_bundle_adjustment(kf: KeyFrame, wmap: Map,
                 profiler.count("lba_dropped_stale")
                 return
             with profiler.timer("lba.apply.outlier"):
-                _apply_outlier_pass(info, refs)
+                _apply_outlier_pass(info, refs, obs_pos=obs_pos)
             with profiler.timer("lba.apply.poses"):
                 free = kf_dof.any(axis=1)
                 _write_back_poses(kfs, st, rig, free, velocities=False)
@@ -616,7 +703,8 @@ def local_inertial_ba(kf: KeyFrame, wmap: Map, b_large: bool = False,
         # temporal links over window + the link into the fixed previous KF
         soft = {fixed[0].mnId} if fixed else set()
         links = _gather_links(window, kf_index, soft_prev_ids=soft)
-        prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w, links=links)
+        prob, slot_k, obs_pos = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w,
+                                             links=links, n_mp=len(mps))
 
         kf_dof = np.zeros((len(kfs), 15), bool)
         kf_dof[: len(window), :] = True
@@ -626,7 +714,7 @@ def local_inertial_ba(kf: KeyFrame, wmap: Map, b_large: bool = False,
                      reproj_kernel="cauchy")
     st, pts, info = _padded_solve(states, points, prob, kf_dof,
                                   np.asarray(mp_free), rig, opts,
-                                  abort_check=abort_check)
+                                  abort_check=abort_check, slot_k=slot_k)
 
     # one pipelined device_get for the whole host post-pass (see the
     # visual LBA above) — outside the map lock: it is the long device wait
@@ -640,10 +728,10 @@ def local_inertial_ba(kf: KeyFrame, wmap: Map, b_large: bool = False,
             return
         # depth-aware chi2 (close = tracked depth < 10, :743-750); we use
         # the optimized depth as the closeness proxy
-        depth = depth_np[: len(refs)]
+        depth = depth_np[obs_pos] if len(refs) else depth_np[:0]
         close = depth < 10.0
         _apply_outlier_pass(info, refs, close_depth_aware=True,
-                            close_flags=close)
+                            close_flags=close, obs_pos=obs_pos)
         free = kf_dof.any(axis=1)
         _write_back_poses(kfs, st, rig, free, velocities=True)
         pts_np = np.asarray(pts)
@@ -679,7 +767,8 @@ def global_bundle_adjustment(wmap: Map, iters: int = 20, loop_kf: int = 0,
         points = np.stack([mp.pos for mp in mps]).astype(np.float32)
         r_kf, r_mp, r_uv, refs = _gather_reproj(kfs, kf_index, mps, mp_index)
         c_idx, c_w, _ = _gather_colines(wmap, mp_index)
-        prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w)
+        prob, slot_k, _ = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w,
+                                       n_mp=len(mps))
 
     kf_dof = np.zeros((len(kfs), 15), bool)
     kf_dof[:, :6] = True
@@ -688,7 +777,8 @@ def global_bundle_adjustment(wmap: Map, iters: int = 20, loop_kf: int = 0,
                      reproj_kernel="cauchy" if robust else "none")
     st, pts, info = _padded_solve(states, points, prob, kf_dof,
                                   np.ones(len(mps), bool), rig, opts,
-                                  abort_check=abort_check, mesh=mesh)
+                                  abort_check=abort_check, mesh=mesh,
+                                  slot_k=slot_k)
 
     st, pts = jax.device_get((st, pts))  # one pipelined fetch
     R = np.asarray(st.R)
@@ -747,8 +837,9 @@ def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
                                         links[15].shape).copy()
         # bias priors on the LAST keyframe (OptimizerGBA.cpp:466-472)
         bias_priors = ([kf_index[kfs[-1].mnId]], [prior_g], [prior_a])
-        prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w, links=links,
-                            bias_priors=bias_priors)
+        prob, slot_k, _ = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w,
+                                       links=links, bias_priors=bias_priors,
+                                       n_mp=len(mps))
 
     kf_dof = np.zeros((len(kfs), 15), bool)
     kf_dof[:, :] = True
@@ -757,7 +848,8 @@ def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
                      reproj_kernel="huber")
     st, pts, info = _padded_solve(states, points, prob, kf_dof,
                                   np.ones(len(mps), bool), rig, opts,
-                                  abort_check=abort_check, mesh=mesh)
+                                  abort_check=abort_check, mesh=mesh,
+                                  slot_k=slot_k)
 
     st, pts = jax.device_get((st, pts))  # one pipelined fetch
     pts_np = np.asarray(pts)

@@ -335,11 +335,57 @@ def _accum_into(target, E, idx, vals):
 
 
 # ---------------------------------------------------------------------------
+# slot-major observation layout (large-bucket scaling)
+#
+# The flat layout's landmark-side one-hot products are O(obs x M) matmuls and
+# the dense W cross-block assembly is O(obs x M x N) — super-linear in window
+# size (measured 1.7/5.9/15.8 device-ms/iter at 16/32/64 KFs in round 2).
+# When the host assembler instead SORTS observations by landmark into K
+# fixed slots per landmark (obs row o = mp*K + slot, r_mp[o] == o//K, padded
+# slots invalid; overflowing observations in a small flat tail), every
+# landmark-side product collapses:
+#   * gathers of per-landmark tables become broadcasts (free),
+#   * scatter-adds into landmark tables become axis-1 sums (free),
+#   * W is assembled per landmark from its own K slots via a (M,K,N) one-hot
+#     einsum — O(M x K x N) instead of O(obs x M x N).
+# The normal equations are bit-identical in exact arithmetic; only the
+# summation order changes. `slot_k` is a static solver arg (0 = flat).
+# ---------------------------------------------------------------------------
+
+def _mp_gather(table, r_mp, E_mp_tail, slot_k):
+    """Per-observation rows of a per-landmark table: broadcast for the
+    slot-major region, one-hot/native gather for the overflow tail."""
+    m = table.shape[0]
+    if slot_k == 0:
+        return _sel(E_mp_tail, table, r_mp)
+    mk = m * slot_k
+    slot = jnp.broadcast_to(table[:, None], (m, slot_k) + table.shape[1:])
+    slot = slot.reshape((mk,) + table.shape[1:])
+    if r_mp.shape[0] == mk:
+        return slot
+    tail = _sel(E_mp_tail, table, r_mp[mk:])
+    return jnp.concatenate([slot, tail], 0)
+
+
+def _mp_accum(target, vals, r_mp, E_mp_tail, slot_k):
+    """Per-landmark accumulation of per-observation values: axis-1 sum for
+    the slot-major region, scatter/one-hot for the overflow tail."""
+    m = target.shape[0]
+    if slot_k == 0:
+        return _accum_into(target, E_mp_tail, r_mp, vals)
+    mk = m * slot_k
+    out = target + vals[:mk].reshape((m, slot_k) + vals.shape[1:]).sum(1)
+    if vals.shape[0] > mk:
+        out = _accum_into(out, E_mp_tail, r_mp[mk:], vals[mk:])
+    return out
+
+
+# ---------------------------------------------------------------------------
 # the solver
 # ---------------------------------------------------------------------------
 
 def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
-                 opts: BAOptions, kf_dof, mp_free, axis=None):
+                 opts: BAOptions, kf_dof, mp_free, axis=None, slot_k=0):
     """One linearization: whitened residuals, Jacobians, robust weights.
 
     Returns (total_chi2, assembled Hpp (N15, N15), b_p (N15,), Hll (M,3,3),
@@ -376,11 +422,15 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
 
     # ---- reprojection ---------------------------------------------------
     res_fn = make_reproj_residual(cam, Rcb, tcb)
+    mk = m * slot_k
     E_kf = _onehot(prob.r_kf, n, dtype)   # (O, N) or None on CPU
-    E_mp = _onehot(prob.r_mp, m, dtype)   # (O, M) or None on CPU
+    # slot-major: landmark-side one-hot only for the (small) overflow tail
+    E_mp = (_onehot(prob.r_mp, m, dtype) if slot_k == 0
+            else (_onehot(prob.r_mp[mk:], m, dtype)
+                  if prob.r_mp.shape[0] > mk else None))
     Rg = _sel(E_kf, states.R, prob.r_kf)
     tg = _sel(E_kf, states.t, prob.r_kf)
-    Xg = _sel(E_mp, points, prob.r_mp)
+    Xg = _mp_gather(points, prob.r_mp, E_mp, slot_k)
 
     def reproj_one(R, t, X, uv):
         # 6-DOF pose tangent only: reprojection does not depend on
@@ -408,7 +458,8 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     )
     # apply free masks to Jacobian columns (mask gathers = exact matmuls)
     Jk = Jk * _sel(E_kf, dof_mask[:, :6], prob.r_kf)[:, None, :]
-    Jx = Jx * _sel(E_mp, mp_mask[:, None], prob.r_mp)[:, None, :]
+    Jx = Jx * _mp_gather(mp_mask[:, None], prob.r_mp, E_mp,
+                         slot_k)[:, None, :]
     sw = w[:, None, None]
     pad9 = ((0, 0), (0, DOF - 6), (0, DOF - 6))
 
@@ -424,21 +475,40 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     bacc = _accum_into(jnp.zeros((n, 6), dtype), E_kf, prob.r_kf,
                        w[:, None] * jnp.einsum("odi,od->oi", Jk, r))
     b_p = b_p + jnp.pad(bacc, ((0, 0), (0, DOF - 6)))
-    Hll = _accum_into(Hll, E_mp, prob.r_mp,
-                      sw * jnp.einsum("odi,odj->oij", Jx, Jx))
-    b_l = _accum_into(b_l, E_mp, prob.r_mp,
-                      w[:, None] * jnp.einsum("odi,od->oi", Jx, r))
+    Hll = _mp_accum(Hll, sw * jnp.einsum("odi,odj->oij", Jx, Jx),
+                    prob.r_mp, E_mp, slot_k)
+    b_l = _mp_accum(b_l, w[:, None] * jnp.einsum("odi,od->oi", Jx, r),
+                    prob.r_mp, E_mp, slot_k)
     # W[m, i, n*6+k]: per-obs (3,6) block into its KF pose-column band
     Bw = sw * jnp.einsum("odi,odj->oij", Jx, Jk)          # (O, 3, 6)
-    if E_kf is None:
-        cols = ((prob.r_kf * 6)[:, None, None]
-                + jnp.arange(6)[None, None, :])
-        W = W.at[prob.r_mp[:, None, None],
-                 jnp.arange(3)[None, :, None], cols].add(Bw)
-    else:
-        C1 = (E_kf[:, None, :, None] * Bw[:, :, None, :]).reshape(
-            E_kf.shape[0], 3, n * 6)                       # (O, 3, N6)
-        W = _accum_into(W, E_mp, prob.r_mp, C1)
+    if slot_k:
+        # each landmark's K slots scatter only into that landmark's row of
+        # W: an O(M x K x N) one-hot einsum replaces the flat path's
+        # O(obs x M x N) assembly (the round-2 scaling bottleneck)
+        Bs = Bw[:mk].reshape(m, slot_k, 3, 6)
+        if E_kf is None:
+            kf_slots = prob.r_kf[:mk].reshape(m, slot_k)
+            G = jnp.zeros((m, n, 3, 6), dtype).at[
+                jnp.arange(m)[:, None], kf_slots].add(Bs)
+        else:
+            E_slot = E_kf[:mk].reshape(m, slot_k, n)
+            G = jnp.einsum("mkn,mkij->mnij", E_slot, Bs,
+                           precision=_PREC_EXACT)
+        W = W + G.transpose(0, 2, 1, 3).reshape(m, 3, n * 6)
+    if slot_k == 0 or Bw.shape[0] > mk:
+        Bw_t = Bw if slot_k == 0 else Bw[mk:]
+        r_kf_t = prob.r_kf if slot_k == 0 else prob.r_kf[mk:]
+        r_mp_t = prob.r_mp if slot_k == 0 else prob.r_mp[mk:]
+        E_kf_t = E_kf if (E_kf is None or slot_k == 0) else E_kf[mk:]
+        if E_kf_t is None:
+            cols = ((r_kf_t * 6)[:, None, None]
+                    + jnp.arange(6)[None, None, :])
+            W = W.at[r_mp_t[:, None, None],
+                     jnp.arange(3)[None, :, None], cols].add(Bw_t)
+        else:
+            C1 = (E_kf_t[:, None, :, None] * Bw_t[:, :, None, :]).reshape(
+                E_kf_t.shape[0], 3, n * 6)                 # (O, 3, N6)
+            W = _accum_into(W, E_mp, r_mp_t, C1)
 
     # ---- colines --------------------------------------------------------
     Ec = [_onehot(prob.c_idx[:, a], m, dtype) for a in range(3)]
@@ -590,17 +660,21 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     return chi2_sum, Hpp, b_p, Hll, b_l, W, coline_terms
 
 
-def _chi2_only(states, points, prob, cam, Rcb, tcb, opts, axis=None):
+def _chi2_only(states, points, prob, cam, Rcb, tcb, opts, axis=None,
+               slot_k=0):
     """Total robust cost at a state (for LM step accept/reject)."""
     dtype = points.dtype
     n = states.R.shape[0]
     m = points.shape[0]
+    mk = m * slot_k
     res_fn = make_reproj_residual(cam, Rcb, tcb)
     E_kf = _onehot(prob.r_kf, n, dtype)
-    E_mp = _onehot(prob.r_mp, m, dtype)
+    E_mp = (_onehot(prob.r_mp, m, dtype) if slot_k == 0
+            else (_onehot(prob.r_mp[mk:], m, dtype)
+                  if prob.r_mp.shape[0] > mk else None))
     Rg = _sel(E_kf, states.R, prob.r_kf)
     tg = _sel(E_kf, states.t, prob.r_kf)
-    Xg = _sel(E_mp, points, prob.r_mp)
+    Xg = _mp_gather(points, prob.r_mp, E_mp, slot_k)
 
     def reproj_one(R, t, X, uv):
         return res_fn(jnp.zeros(DOF, dtype), jnp.zeros(3, dtype),
@@ -668,11 +742,11 @@ def _chi2_only(states, points, prob, cam, Rcb, tcb, opts, axis=None):
     return total
 
 
-@functools.partial(jax.jit, static_argnames=("axis",))
+@functools.partial(jax.jit, static_argnames=("axis", "slot_k"))
 def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
              kf_dof: jax.Array, mp_free: jax.Array, Rcb: jax.Array,
              tcb: jax.Array, cam: CameraModel, opts: BAOptions,
-             axis: Optional[str] = None):
+             axis: Optional[str] = None, slot_k: int = 0):
     """Run `opts.iters` damped-GN iterations. Returns (states, points, info).
 
     info carries per-iteration chi2 for diagnostics, the final damping
@@ -697,7 +771,7 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
         states_c, points_c, lam, last_chi2 = carry
         chi2, Hpp, b_p, Hll, b_l, W, coline_terms = _compute_all(
             states_c, points_c, prob, cam, Rcb, tcb, opts, kf_dof, mp_free,
-            axis=axis)
+            axis=axis, slot_k=slot_k)
 
         # landmark block inverses (regularized for padded/fixed landmarks)
         eye3 = jnp.eye(3, dtype=dtype)
@@ -785,7 +859,7 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
 
         if opts.adapt:
             new_chi2 = _chi2_only(new_states, new_points, prob, cam, Rcb, tcb,
-                                  opts, axis=axis)
+                                  opts, axis=axis, slot_k=slot_k)
             accept = new_chi2 < chi2
             states_n = jax.tree.map(
                 lambda a, b: jnp.where(accept, a, b), new_states, states_c)
@@ -839,8 +913,11 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
 
     # final per-observation chi2 + depth for outlier classification
     res_fn = make_reproj_residual(cam, Rcb, tcb)
+    mk_f = m * slot_k
     E_kf_f = _onehot(prob.r_kf, n, dtype)
-    E_mp_f = _onehot(prob.r_mp, m, dtype)
+    E_mp_f = (_onehot(prob.r_mp, m, dtype) if slot_k == 0
+              else (_onehot(prob.r_mp[mk_f:], m, dtype)
+                    if prob.r_mp.shape[0] > mk_f else None))
 
     def obs_chi2(R, t, X, uv):
         r = res_fn(jnp.zeros(DOF, dtype), jnp.zeros(3, dtype), R, t, X, uv)
@@ -851,7 +928,7 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
     obs_chi2_v, obs_depth = jax.vmap(obs_chi2)(
         _sel(E_kf_f, states_f.R, prob.r_kf),
         _sel(E_kf_f, states_f.t, prob.r_kf),
-        _sel(E_mp_f, points_f, prob.r_mp), prob.r_uv)
+        _mp_gather(points_f, prob.r_mp, E_mp_f, slot_k), prob.r_uv)
     return states_f, points_f, dict(chi2_hist=chi2_hist,
                                     final_chi2=final_chi2, lam=lam_f,
                                     iters_run=iters_run,

@@ -108,7 +108,7 @@ class TestAbortBA:
         points = jnp.asarray(np.stack([mp.pos for mp in mps]))
         r_kf, r_mp, r_uv, _ = _gather_reproj(kfs, kf_index, mps, mp_index)
         c_idx, c_w, _ = _gather_colines(wmap, mp_index)
-        prob = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w)
+        prob, _, _ = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w)
         kf_dof = np.zeros((len(kfs), 15), bool)
         kf_dof[1:, :6] = True
         mp_free = np.ones(len(mps), bool)

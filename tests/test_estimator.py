@@ -394,6 +394,168 @@ class TestAssemblyPathEquivalence:
         np.testing.assert_allclose(bl_o, bl_s, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(W_o, W_s, rtol=1e-4, atol=1e-4)
 
+    def _slot_problem(self, n_kf=6, n_mp=40, K=4, tail=5, seed=0):
+        """Hand-built slot-major problem (obs row = mp*K + rank, overflow
+        tail) with the ba_core layout contract r_mp[o] == o//K."""
+        rng = np.random.RandomState(seed)
+        pts = np.stack([rng.uniform(-3, 3, n_mp), rng.uniform(-2, 2, n_mp),
+                        rng.uniform(4, 10, n_mp)], 1).astype(np.float32)
+        Rwb = np.broadcast_to(np.eye(3, dtype=np.float32),
+                              (n_kf, 3, 3)).copy()
+        twb = np.zeros((n_kf, 3), np.float32)
+        twb[:, 0] = np.linspace(0, 1, n_kf)
+        MK = n_mp * K
+        r_kf = np.zeros(MK + tail, np.int32)
+        r_mp = np.zeros(MK + tail, np.int32)
+        r_valid = np.zeros(MK + tail, bool)
+        r_mp[:MK] = np.arange(MK) // K
+        for m in range(n_mp):
+            for a, k in enumerate(rng.choice(n_kf, rng.randint(2, K + 1),
+                                             replace=False)):
+                r_kf[m * K + a] = k
+                r_valid[m * K + a] = True
+        for t in range(tail):
+            r_mp[MK + t] = rng.randint(0, n_mp)
+            r_kf[MK + t] = rng.randint(0, n_kf)
+            r_valid[MK + t] = True
+        Xc = np.einsum("oij,oj->oi", Rwb[r_kf].transpose(0, 2, 1),
+                       pts[r_mp] - twb[r_kf])
+        uv = np.stack([CAM.fx * Xc[:, 0] / Xc[:, 2] + CAM.cx,
+                       CAM.fy * Xc[:, 1] / Xc[:, 2] + CAM.cy], 1)
+        uv += rng.randn(*uv.shape) * 0.3
+        c_idx = rng.randint(0, n_mp, (6, 3)).astype(np.int32)
+        prob = empty_problem(n_obs=MK + tail, n_col=6, n_links=1,
+                             n_priors=1, n_bp=1)
+        prob = prob._replace(
+            r_kf=jnp.asarray(r_kf), r_mp=jnp.asarray(r_mp),
+            r_uv=jnp.asarray(uv.astype(np.float32)),
+            r_valid=jnp.asarray(r_valid), c_idx=jnp.asarray(c_idx),
+            c_w=jnp.full((6,), 20.0, jnp.float32),
+            c_valid=jnp.ones(6, bool))
+        tn = twb + rng.randn(n_kf, 3).astype(np.float32) * 0.02
+        tn[0] = twb[0]
+        pn = pts + rng.randn(n_mp, 3).astype(np.float32) * 0.02
+        states = KFStates(jnp.asarray(Rwb), jnp.asarray(tn),
+                          jnp.zeros((n_kf, 3), jnp.float32),
+                          jnp.zeros((n_kf, 3), jnp.float32),
+                          jnp.zeros((n_kf, 3), jnp.float32))
+        kf_dof = np.zeros((n_kf, 15), bool)
+        kf_dof[1:, :6] = True
+        return (states, jnp.asarray(pn), prob, jnp.asarray(kf_dof),
+                jnp.ones(n_mp, bool), jnp.eye(3, dtype=jnp.float32),
+                jnp.zeros(3, jnp.float32), CAM)
+
+    @pytest.mark.parametrize("force_onehot,n_mp", [("0", 40), ("1", 44)])
+    def test_slot_solver_matches_flat(self, monkeypatch, force_onehot, n_mp):
+        """slot_k>0 (slot-major W/Hll assembly — the large-bucket scaling
+        path) must match the flat layout through a full damped-GN run, on
+        both the scatter and one-hot assemblies. Distinct n_mp per case so
+        each traces fresh programs (the jit cache ignores the env var)."""
+        monkeypatch.setenv("PPG_FORCE_ONEHOT", force_onehot)
+        args = self._slot_problem(n_mp=n_mp)
+        opts = BAOptions(iters=6, lambda0=1e-2, tol=0.0)
+        st_f, pts_f, info_f = solve_ba(*args, opts, slot_k=0)
+        st_s, pts_s, info_s = solve_ba(*args, opts, slot_k=4)
+        np.testing.assert_allclose(np.asarray(pts_s), np.asarray(pts_f),
+                                   rtol=1e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(st_s.t), np.asarray(st_f.t),
+                                   rtol=1e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(info_s["obs_chi2"]),
+                                   np.asarray(info_f["obs_chi2"]),
+                                   rtol=1e-2, atol=1e-2)
+
+    def test_slot_layout_assignment(self):
+        """_slot_layout: bijective rows, first K per landmark slot-major,
+        overflow appended as a flat tail."""
+        from ppg_slam_tpu.estimator.ba import _slot_layout
+
+        r_mp = np.asarray([3, 0, 3, 3, 1, 3, 3, 0], np.int32)
+        rows, K, n_tail = _slot_layout(r_mp, M=5)
+        assert K == 8 and n_tail == 0  # next pow2 >= max count (5)
+        assert len(set(rows.tolist())) == len(rows)
+        # first-come slot ranks within each landmark
+        assert rows[1] == 0 * K + 0 and rows[7] == 0 * K + 1
+        assert rows[4] == 1 * K + 0
+        assert sorted(rows[[0, 2, 3, 5, 6]].tolist()) == [
+            3 * K, 3 * K + 1, 3 * K + 2, 3 * K + 3, 3 * K + 4]
+        for i, r in enumerate(rows):
+            assert r_mp[i] == r // K
+
+        # overflow past the K=32 cap goes to the flat tail
+        r_mp2 = np.concatenate([np.full(40, 1), [0, 2]]).astype(np.int32)
+        rows2, K2, n_tail2 = _slot_layout(r_mp2, M=3)
+        assert K2 == 32 and n_tail2 == 8
+        assert len(set(rows2.tolist())) == len(rows2)
+        assert (rows2 >= 3 * K2).sum() == 8
+        for i, r in enumerate(rows2):
+            if r < 3 * K2:
+                assert r_mp2[i] == r // K2
+
+    def test_pad_problem_slots_roundtrip(self, monkeypatch):
+        """_pad_problem(PPG_SLOTS=1) builds the ba_core slot contract and
+        _padded_solve(slot_k) matches the flat path end-to-end."""
+        from ppg_slam_tpu.estimator.ba import (_bucket_nm, _pad_problem,
+                                               _padded_solve)
+        from ppg_slam_tpu.worldmap.frame import Rig
+
+        rng = np.random.RandomState(5)
+        n_kf, n_mp, n_obs = 6, 40, 220
+        pts = np.stack([rng.uniform(-3, 3, n_mp), rng.uniform(-2, 2, n_mp),
+                        rng.uniform(4, 10, n_mp)], 1).astype(np.float32)
+        Rwb = np.broadcast_to(np.eye(3, dtype=np.float32),
+                              (n_kf, 3, 3)).copy()
+        twb = np.zeros((n_kf, 3), np.float32)
+        twb[:, 0] = np.linspace(0, 1, n_kf)
+        r_kf = rng.randint(0, n_kf, n_obs).astype(np.int32)
+        r_mp = rng.randint(0, n_mp, n_obs).astype(np.int32)
+        Xc = np.einsum("oij,oj->oi", Rwb[r_kf].transpose(0, 2, 1),
+                       pts[r_mp] - twb[r_kf])
+        r_uv = np.stack([CAM.fx * Xc[:, 0] / Xc[:, 2] + CAM.cx,
+                         CAM.fy * Xc[:, 1] / Xc[:, 2] + CAM.cy],
+                        1).astype(np.float32)
+        c_idx = np.zeros((0, 3), np.int32)
+        c_w = np.zeros(0, np.float32)
+
+        monkeypatch.setenv("PPG_SLOTS", "1")
+        prob_s, slot_k, obs_pos = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w,
+                                               n_mp=n_mp)
+        M = _bucket_nm(1, n_mp)[1]
+        assert slot_k > 0
+        mk = M * slot_k
+        rmp = np.asarray(prob_s.r_mp)
+        np.testing.assert_array_equal(rmp[:mk],
+                                      np.arange(mk, dtype=np.int64)
+                                      // slot_k)
+        np.testing.assert_array_equal(np.asarray(prob_s.r_uv)[obs_pos],
+                                      r_uv)
+        assert np.asarray(prob_s.r_valid).sum() == n_obs
+
+        monkeypatch.setenv("PPG_SLOTS", "0")
+        prob_f, zk, pos_f = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w,
+                                         n_mp=n_mp)
+        assert zk == 0 and np.array_equal(pos_f, np.arange(n_obs))
+
+        states = KFStates(Rwb, twb + rng.randn(n_kf, 3).astype(
+            np.float32) * 0.02, np.zeros((n_kf, 3), np.float32),
+            np.zeros((n_kf, 3), np.float32), np.zeros((n_kf, 3), np.float32))
+        kf_dof = np.zeros((n_kf, 15), bool)
+        kf_dof[1:, :6] = True
+        rig = Rig(CAM)
+        opts = BAOptions(iters=5, lambda0=1e-2, tol=0.0)
+        pn = pts + rng.randn(n_mp, 3).astype(np.float32) * 0.02
+        st_s, pts_out_s, info_s = _padded_solve(
+            states, pn.copy(), prob_s, kf_dof.copy(),
+            np.ones(n_mp, bool), rig, opts, slot_k=slot_k)
+        st_f, pts_out_f, info_f = _padded_solve(
+            states, pn.copy(), prob_f, kf_dof.copy(),
+            np.ones(n_mp, bool), rig, opts, slot_k=0)
+        np.testing.assert_allclose(np.asarray(pts_out_s)[:n_mp],
+                                   np.asarray(pts_out_f)[:n_mp],
+                                   rtol=1e-3, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(info_s["obs_chi2"])[obs_pos],
+            np.asarray(info_f["obs_chi2"])[:n_obs], rtol=1e-2, atol=1e-2)
+
     @pytest.mark.slow
     def test_solve_ba_same_result_both_paths(self, monkeypatch):
         """End-to-end: a short damped-GN run converges to the same states
