@@ -63,7 +63,7 @@ def _supervise() -> None:
     import threading
 
     stall_s = 420.0
-    deadline_s = 1500.0
+    deadline_s = 2100.0  # room for the 1024-shape buckets' cold compiles
     for attempt in range(3):
         child_env = dict(os.environ, PPG_BENCH_CHILD="1")
         p = subprocess.Popen(
@@ -190,6 +190,35 @@ if jax.default_backend() != "cpu":
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
+V5E_PEAK_BF16_TFLOPS = 197.0   # v5e MXU peak (bf16); f32 runs at a fraction
+V5E_HBM_GBPS = 819.0
+
+
+def _effline(name, jitfn, args, ms_per_item, items=1, **lower_kw):
+    """Static-cost efficiency diagnostic: XLA's own cost analysis (flops +
+    bytes accessed) over the measured steady-state time — answers "is this
+    stage MXU-bound, HBM-bound, or neither?" without re-deriving FLOP
+    counts by hand. Best-effort: never breaks the bench."""
+    try:
+        compiled = jitfn.lower(*args, **lower_kw).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        fl = float(ca.get("flops", 0.0)) / items
+        by = float(ca.get("bytes accessed", 0.0)) / items
+        if fl <= 0 and by <= 0:
+            return
+        tflops = fl / (ms_per_item * 1e9) if ms_per_item > 0 else 0.0
+        gbps = by / (ms_per_item * 1e6) if ms_per_item > 0 else 0.0
+        log(f"  [eff {name}: {fl / 1e9:.2f} GFLOP + {by / 1e6:.1f} MB "
+            f"touched per item -> {tflops:.2f} TFLOP/s "
+            f"({100 * tflops / V5E_PEAK_BF16_TFLOPS:.1f}% of bf16 peak), "
+            f"{gbps:.0f} GB/s ({100 * gbps / (V5E_HBM_GBPS * 1e0):.1f}% of "
+            f"HBM)]")
+    except Exception as e:
+        log(f"  [eff {name}: unavailable ({type(e).__name__})]")
+
+
 def make_frames(n=16, seed=0):
     rng = np.random.RandomState(seed)
     frames = []
@@ -302,48 +331,74 @@ def bench_frontend(B=32, n_batches=12, depth=3, kf_interval=8):
         h.result()
     for b in kf_bufs:
         np.asarray(b)
-    return float(np.median(times)) / B * 1e3
+    ms = float(np.median(times)) / B * 1e3
+    fe_args = ((ex.params, stacks[0], ex._mapx, ex._mapy, ex._band_lo,
+                ex._col_lo) if ex._has_dist
+               else (ex.params, stacks[0], None, None, None, None))
+    _effline("frontend", ex._stage_batch, fe_args, ms, items=B)
+    return ms
 
 
-def bench_frontend_tumvi(B=32, n_batches=8, depth=3, size=512):
-    """TUM-VI KannalaBrandt8 front-end bucket (the fisheye half of the
-    BASELINE evaluation set): same serving config as the EuRoC bucket,
-    exercising the KB8 undistortion remap at its native shape. size=512 by
-    default; the 1024 bucket (TUM-VI-1024 config) runs only when
-    PPG_BENCH_1024=1 — a new shape is a multi-minute cold compile on the
-    1-core host, which must not risk the driver's gated run."""
-    import cv2
+class _heartbeat:
+    """Context manager printing a stderr heartbeat while a known-long
+    compile runs: the supervisor kills a child silent for 420 s, but the
+    1024-shape FE buckets cold-compile for several minutes on this 1-core
+    host. Scoped to the compile call only, so the watchdog still guards
+    the rest of the run."""
 
+    def __init__(self, what):
+        self.what = what
+
+    def __enter__(self):
+        import threading
+
+        self._stop = threading.Event()
+
+        def beat():
+            k = 0
+            while not self._stop.wait(150.0):
+                k += 1
+                log(f"  [{self.what}: still compiling/running, "
+                    f"{k * 150}s]")
+
+        self._t = threading.Thread(target=beat, daemon=True)
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=5)
+        return False
+
+
+def _bench_frontend_shape(cam, B=32, n_batches=8, depth=3, label=""):
+    """Shared fisheye/odd-shape front-end bucket driver: serving config,
+    pre-staged distinct-batch feed (same accounting as bench_frontend)."""
     from ppg_slam_tpu.frontend import PPGExtractor
-    from ppg_slam_tpu.geometry.cameras import CAM_FISHEYE, CameraModel
 
-    s = size / 512.0
-    cam = CameraModel(
-        kind=CAM_FISHEYE, fx=190.978477 * s, fy=190.973307 * s,
-        cx=254.931706 * s, cy=256.897442 * s,
-        dist=(0.003482389402, 0.000715034845, -0.002053236141,
-              0.000202936736),
-        width=size, height=size)
+    w, h = cam.width, cam.height
     ex = PPGExtractor(cam, desc_transfer="device", compute_dtype="bf16")
 
     def batch(seed):
         rng = np.random.RandomState(seed)
         frames = []
         for _ in range(B):
-            img = np.full((size, size), 120, np.uint8)
-            for i in range(1, size // 64):
+            img = np.full((h, w), 120, np.uint8)
+            for i in range(1, h // 64):
                 img[i * 64 - 1, :] = 250
-                img[:, i * 64 - 1] = 250
+            for j in range(1, w // 64):
+                img[:, j * 64 - 1] = 250
             img = np.clip(img.astype(np.int32)
                           + rng.randint(-20, 20, img.shape), 0, 255
                           ).astype(np.uint8)
             frames.append(img)
         return frames
 
-    feats = ex.extract_batch(batch(0))
+    with _heartbeat(label or f"{w}x{h} bucket"):
+        feats = ex.extract_batch(batch(0))
     assert feats[0].n_kp > 20
-    # pre-staged distinct-batch feed (same accounting as bench_frontend;
-    # sequential blocking puts — unblocked bursts wedge the relay)
+    # pre-staged distinct-batch feed (sequential blocking puts —
+    # unblocked bursts wedge the relay)
     stacks = []
     for s in range(n_batches + depth):
         d = jax.device_put(np.stack(batch(s)))
@@ -356,9 +411,40 @@ def bench_frontend_tumvi(B=32, n_batches=8, depth=3, size=512):
         pend.append(ex.extract_batch_async(stacks[depth - 1 + i]))
         pend.pop(0).result()
         times.append(time.perf_counter() - t0)
-    for h in pend:
-        h.result()
+    for hh in pend:
+        hh.result()
     return float(np.median(times)) / B * 1e3
+
+
+def bench_frontend_tumvi(B=32, n_batches=8, depth=3, size=512):
+    """TUM-VI KannalaBrandt8 front-end bucket (the fisheye half of the
+    BASELINE evaluation set, config/TUM-VI.yaml / TUM-VI_1024.yaml):
+    exercises the KB8 undistortion remap at its native shape."""
+    from ppg_slam_tpu.geometry.cameras import CAM_FISHEYE, CameraModel
+
+    s = size / 512.0
+    cam = CameraModel(
+        kind=CAM_FISHEYE, fx=190.978477 * s, fy=190.973307 * s,
+        cx=254.931706 * s, cy=256.897442 * s,
+        dist=(0.003482389402, 0.000715034845, -0.002053236141,
+              0.000202936736),
+        width=size, height=size)
+    return _bench_frontend_shape(cam, B=B, n_batches=n_batches, depth=depth,
+                                 label=f"TUM-VI {size}")
+
+
+def bench_frontend_uma(B=16, n_batches=4, depth=3):
+    """UMA-VI KB8 1024x768 bucket (the third BASELINE dataset shape,
+    /root/reference/config/UMA.yaml)."""
+    from ppg_slam_tpu.geometry.cameras import CAM_FISHEYE, CameraModel
+
+    cam = CameraModel(
+        kind=CAM_FISHEYE, fx=545.740200, fy=546.462487,
+        cx=516.789846, cy=399.688341,
+        dist=(-0.069838371, 0.030679193, -0.029318269, 0.008383563),
+        width=1024, height=768)
+    return _bench_frontend_shape(cam, B=B, n_batches=n_batches, depth=depth,
+                                 label="UMA 1024x768")
 
 
 def bench_matching(B=32, n_batches=12, m=2048, n_queries_live=1200,
@@ -415,7 +501,9 @@ def bench_matching(B=32, n_batches=12, m=2048, n_queries_live=1200,
         times.append(time.perf_counter() - t0)
     for o in pend:
         np.asarray(o)
-    return float(np.median(times)) / B * 1e3
+    ms = float(np.median(times)) / B * 1e3
+    _effline("matching", gated_match_batch_packed, args, ms, items=B)
+    return ms
 
 
 def bench_pose_opt(B=32, n_obs=512, n_batches=8):
@@ -468,31 +556,35 @@ def bench_pose_opt(B=32, n_obs=512, n_batches=8):
         times.append(time.perf_counter() - t0)
     for o in pend:
         np.asarray(o)
-    return float(np.median(times)) / B * 1e3
+    ms = float(np.median(times)) / B * 1e3
+    _effline("pose_opt", step, args, ms, items=B)
+    return ms
 
 
-def bench_lba(n_kf=16, n_mp=1024, n_obs=8192, n_col=512, iters=6,
-              n_runs=5, kf_interval=8):
-    import jax
+def _make_ba_bucket(n_kf, n_mp, slot_k=8, n_col=512, seed=2, free_from=2):
+    """Synthetic slot-major BA problem (the production layout on
+    accelerators — estimator.ba._slot_layout): each landmark observed by
+    `slot_k` keyframes, obs row = mp*K + rank, no overflow tail. Returns
+    (solver args tuple, slot_k)."""
     import jax.numpy as jnp
 
-    from ppg_slam_tpu.geometry import so3
     from ppg_slam_tpu.geometry.cameras import CAM_PINHOLE, CameraModel
-    from ppg_slam_tpu.estimator import (BAOptions, KFStates, empty_problem,
-                                        solve_ba)
+    from ppg_slam_tpu.estimator import BAOptions, KFStates, empty_problem
 
     cam = CameraModel(kind=CAM_PINHOLE, fx=458.654, fy=457.296, cx=367.215,
                       cy=248.375, dist=(0.0, 0.0, 0.0, 0.0),
                       width=752, height=480)
-    rng = np.random.RandomState(2)
+    n_obs = n_mp * slot_k
+    rng = np.random.RandomState(seed)
     points = np.stack([rng.uniform(-3, 3, n_mp), rng.uniform(-2, 2, n_mp),
                        rng.uniform(4, 10, n_mp)], 1).astype(np.float32)
     Rwb = np.broadcast_to(np.eye(3, dtype=np.float32), (n_kf, 3, 3)).copy()
     twb = np.zeros((n_kf, 3), np.float32)
     twb[:, 0] = np.linspace(0, 2, n_kf)
 
+    # slot-major observations: landmark m in rows [m*K, (m+1)*K)
+    r_mp = (np.arange(n_obs, dtype=np.int64) // slot_k).astype(np.int32)
     r_kf = rng.randint(0, n_kf, n_obs).astype(np.int32)
-    r_mp = rng.randint(0, n_mp, n_obs).astype(np.int32)
     Xc = np.einsum("oij,oj->oi",
                    Rwb[r_kf].transpose(0, 2, 1), points[r_mp] - twb[r_kf])
     r_uv = np.stack([458.654 * Xc[:, 0] / Xc[:, 2] + 367.215,
@@ -508,24 +600,131 @@ def bench_lba(n_kf=16, n_mp=1024, n_obs=8192, n_col=512, iters=6,
     prob = prob._replace(
         r_kf=jnp.asarray(r_kf), r_mp=jnp.asarray(r_mp),
         r_uv=jnp.asarray(r_uv.astype(np.float32)),
-        r_valid=jnp.ones(n_obs, bool),
+        r_valid=jnp.asarray(Xc[:, 2] > 0.1),
         c_idx=jnp.asarray(c_idx), c_w=jnp.full((n_col,), 50.0, jnp.float32),
         c_valid=jnp.zeros(n_col, bool))
 
     tn = twb + rng.randn(n_kf, 3).astype(np.float32) * 0.02
-    tn[:2] = twb[:2]
+    tn[:free_from] = twb[:free_from]
     pn = points + rng.randn(n_mp, 3).astype(np.float32) * 0.02
     states = KFStates(R=jnp.asarray(Rwb), t=jnp.asarray(tn),
                       v=jnp.zeros((n_kf, 3), jnp.float32),
                       bg=jnp.zeros((n_kf, 3), jnp.float32),
                       ba=jnp.zeros((n_kf, 3), jnp.float32))
     kf_dof = np.zeros((n_kf, 15), bool)
-    kf_dof[2:, :6] = True
-    opts = BAOptions(iters=iters, lambda0=1e-2)
+    kf_dof[free_from:, :6] = True
     args = (states, jnp.asarray(pn), prob, jnp.asarray(kf_dof),
             jnp.ones(n_mp, bool), jnp.eye(3, dtype=jnp.float32),
-            jnp.zeros(3, jnp.float32), cam, opts)
-    st, pts, info = solve_ba(*args)
+            jnp.zeros(3, jnp.float32), cam)
+    return args, slot_k
+
+
+def bench_pose_inertial(B=32, n_obs=512, n_batches=8):
+    """Steady-state per-frame optimizer AFTER IMU initialization: the
+    2-frame visual-inertial filter + 30x30 Schur marginalization
+    (PoseInertialOptimizationLastFrame, OptimizerPose.cpp:177-466) runs on
+    EVERY frame once the map is inertial — this, not the pre-IMU visual
+    pose opt, is the deployment per-frame cost. Batch-32 steady state like
+    the other stages."""
+    import jax
+    import jax.numpy as jnp
+
+    from ppg_slam_tpu.estimator import (FrameVIState, PreintData, Prior15,
+                                        pose_inertial_optimization)
+    from ppg_slam_tpu.geometry.cameras import CAM_PINHOLE, CameraModel
+    from ppg_slam_tpu.imu import GRAVITY_VALUE
+
+    cam = CameraModel(kind=CAM_PINHOLE, fx=458.654, fy=457.296, cx=367.215,
+                      cy=248.375, dist=(0.0, 0.0, 0.0, 0.0),
+                      width=752, height=480)
+    rng = np.random.RandomState(4)
+    dt = 0.05
+    g = np.float32([0, 0, -GRAVITY_VALUE])
+    v = np.float32([0.4, 0.0, 0.0])
+    eye3 = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3)).copy()
+    z3 = np.zeros((B, 3), np.float32)
+    prev = FrameVIState(R=jnp.asarray(eye3), t=jnp.asarray(z3),
+                        v=jnp.asarray(np.tile(v, (B, 1))),
+                        bg=jnp.asarray(z3), ba=jnp.asarray(z3))
+    t_curr = np.tile(v * dt, (B, 1)).astype(np.float32)
+    curr0 = FrameVIState(
+        R=jnp.asarray(eye3),
+        t=jnp.asarray(t_curr + rng.randn(B, 3).astype(np.float32) * 0.01),
+        v=jnp.asarray(np.tile(v, (B, 1))
+                      + rng.randn(B, 3).astype(np.float32) * 0.02),
+        bg=jnp.asarray(z3), ba=jnp.asarray(z3))
+    preint = PreintData(
+        dR=jnp.asarray(eye3), dV=jnp.asarray(np.tile(-g * dt, (B, 1))),
+        dP=jnp.asarray(np.tile(v * dt - 0.5 * g * dt * dt, (B, 1))),
+        JRg=jnp.zeros((B, 3, 3)), JVg=jnp.zeros((B, 3, 3)),
+        JVa=jnp.zeros((B, 3, 3)), JPg=jnp.zeros((B, 3, 3)),
+        JPa=jnp.zeros((B, 3, 3)), b0=jnp.zeros((B, 6)),
+        sqi=jnp.broadcast_to(jnp.eye(9) * 1e2, (B, 9, 9)).astype(jnp.float32),
+        sqig=jnp.broadcast_to(jnp.eye(3) * 1e2, (B, 3, 3)).astype(jnp.float32),
+        sqia=jnp.broadcast_to(jnp.eye(3) * 1e2, (B, 3, 3)).astype(jnp.float32),
+        dt=jnp.full((B,), dt, jnp.float32))
+    prior = Prior15(R=jnp.asarray(eye3), t=jnp.asarray(z3),
+                    v=jnp.asarray(np.tile(v, (B, 1))), bg=jnp.asarray(z3),
+                    ba=jnp.asarray(z3),
+                    H=jnp.broadcast_to(jnp.eye(15) * 1e4,
+                                       (B, 15, 15)).astype(jnp.float32),
+                    valid=jnp.ones((B,), bool))
+    X = np.stack([rng.uniform(-2, 2, (B, n_obs)),
+                  rng.uniform(-1.5, 1.5, (B, n_obs)),
+                  rng.uniform(4, 8, (B, n_obs))], -1).astype(np.float32)
+    Xc = X - t_curr[:, None, :]
+    uv = np.stack([458.654 * Xc[..., 0] / Xc[..., 2] + 367.215,
+                   457.296 * Xc[..., 1] / Xc[..., 2] + 248.375],
+                  -1).astype(np.float32)
+    uv += rng.randn(*uv.shape).astype(np.float32) * 0.5
+    valid = np.ones((B, n_obs), bool)
+    close = Xc[..., 2] < 10.0
+    Rcb = jnp.eye(3, dtype=jnp.float32)
+    tcb = jnp.zeros(3, jnp.float32)
+
+    step = jax.jit(jax.vmap(
+        lambda c, p, pre, pr, Xs, uvs, vs, cl: pose_inertial_optimization(
+            c, p, pre, pr, Xs, uvs, vs, cl, Rcb, tcb, cam)))
+    args = (curr0, prev, preint, prior, jnp.asarray(X), jnp.asarray(uv),
+            jnp.asarray(valid), jnp.asarray(close))
+    out = step(*args)
+    n_in = int(np.asarray(out[2])[0])
+    assert n_in > n_obs * 0.7, n_in
+    err = float(jnp.linalg.norm(out[0].t[0] - jnp.asarray(t_curr[0])))
+    assert err < 0.05, err  # converged onto the true pose
+
+    def dispatch():
+        out = step(*args)
+        try:
+            out[2].copy_to_host_async()
+        except Exception:
+            pass
+        return out[2]
+
+    pend = [dispatch() for _ in range(2)]
+    times = []
+    for _ in range(n_batches):
+        t0 = time.perf_counter()
+        pend.append(dispatch())
+        float(np.asarray(pend.pop(0))[0])
+        times.append(time.perf_counter() - t0)
+    for o in pend:
+        np.asarray(o)
+    ms = float(np.median(times)) / B * 1e3
+    _effline("pose_inertial", step, args, ms, items=B)
+    return ms
+
+
+def bench_lba(n_kf=50, n_mp=5120, n_col=512, iters=6, n_runs=5,
+              kf_interval=8):
+    """The reference's REAL local-inertial window shape: <=50 temporal KFs
+    (OptimizerLBA.cpp:357) with ~5k live points / 40k observations — not
+    the friendly 16-KF bucket round 2 amortized."""
+    from ppg_slam_tpu.estimator import BAOptions, solve_ba
+
+    args, slot_k = _make_ba_bucket(n_kf, n_mp, n_col=n_col)
+    opts = BAOptions(iters=iters, lambda0=1e-2)
+    st, pts, info = solve_ba(*args, opts, slot_k=slot_k)
     chi2 = np.asarray(info["chi2_hist"])
     assert chi2[-1] < chi2[0], chi2
 
@@ -535,7 +734,7 @@ def bench_lba(n_kf=16, n_mp=1024, n_obs=8192, n_col=512, iters=6,
     # all queued device work (profiled: per-solve device cost ~10-17 ms,
     # every synchronous fetch costs a ~25 ms round trip)
     def dispatch():
-        _, _, info = solve_ba(*args)
+        _, _, info = solve_ba(*args, opts, slot_k=slot_k)
         h = info["chi2_hist"]
         try:
             h.copy_to_host_async()
@@ -552,74 +751,39 @@ def bench_lba(n_kf=16, n_mp=1024, n_obs=8192, n_col=512, iters=6,
         times.append(time.perf_counter() - t0)
     for h in pend:
         np.asarray(h)
-    return float(np.median(times)) * 1e3, kf_interval
+    ms = float(np.median(times)) * 1e3
+    _effline("lba_solve", solve_ba, args + (opts,), ms, slot_k=slot_k)
+    return ms, kf_interval
 
 
-def bench_solver_table(iters=4):
-    """Per-bucket BA solve times from the LBA window up to GBA scale —
-    makes the one-hot MXU assembly's scaling visible (it is O(obs x KF) /
-    O(obs x MP) matmul work, so crossover points and regressions show up
-    here). Printed to stderr as a table; 2 warm runs, median."""
-    import jax.numpy as jnp
+def bench_solver_table():
+    """Per-bucket BA solve times from the LBA window up to GBA scale with
+    the slot-major assembly (estimator.ba_core slot layout) — round 2's
+    dense-W path scaled super-linearly (1.7/5.9/15.8 device-ms/iter at
+    16/32/64 KFs); the slot path's assembly is O(M x K x N). Buckets
+    include the reference's real shapes: the 50-KF LIBA window
+    (OptimizerLBA.cpp:357) and a 128-KF GBA-scale map
+    (LoopClosing.cpp:1046 runs GBA to ~200 KFs). Printed to stderr;
+    slope-timed (2 vs 6 iters) to cancel harness round trips."""
+    from ppg_slam_tpu.estimator import BAOptions, solve_ba
 
-    from ppg_slam_tpu.estimator import BAOptions, KFStates, empty_problem, \
-        solve_ba
-    from ppg_slam_tpu.geometry.cameras import CAM_PINHOLE, CameraModel
-
-    cam = CameraModel(kind=CAM_PINHOLE, fx=458.654, fy=457.296, cx=367.215,
-                      cy=248.375, dist=(0.0, 0.0, 0.0, 0.0),
-                      width=752, height=480)
     rows = []
-    for n_kf, n_mp, n_obs, n_col in ((16, 1024, 8192, 512),
-                                     (32, 2048, 16384, 1024),
-                                     (64, 4096, 32768, 2048)):
-        rng = np.random.RandomState(3)
-        points = np.stack([rng.uniform(-3, 3, n_mp),
-                           rng.uniform(-2, 2, n_mp),
-                           rng.uniform(4, 10, n_mp)], 1).astype(np.float32)
-        Rwb = np.broadcast_to(np.eye(3, dtype=np.float32),
-                              (n_kf, 3, 3)).copy()
-        twb = np.zeros((n_kf, 3), np.float32)
-        twb[:, 0] = np.linspace(0, 4, n_kf)
-        r_kf = rng.randint(0, n_kf, n_obs).astype(np.int32)
-        r_mp = rng.randint(0, n_mp, n_obs).astype(np.int32)
-        Xc = np.einsum("oij,oj->oi", Rwb[r_kf].transpose(0, 2, 1),
-                       points[r_mp] - twb[r_kf])
-        r_uv = np.stack([458.654 * Xc[:, 0] / Xc[:, 2] + 367.215,
-                         457.296 * Xc[:, 1] / Xc[:, 2] + 248.375], 1)
-        prob = empty_problem(n_obs=n_obs, n_col=n_col, n_links=1,
-                             n_priors=1, n_bp=1)
-        prob = prob._replace(
-            r_kf=jnp.asarray(r_kf), r_mp=jnp.asarray(r_mp),
-            r_uv=jnp.asarray(r_uv.astype(np.float32)),
-            r_valid=jnp.asarray(Xc[:, 2] > 0.1),
-            c_idx=jnp.asarray(
-                rng.randint(0, n_mp, (n_col, 3)).astype(np.int32)),
-            c_w=jnp.full((n_col,), 50.0, jnp.float32),
-            c_valid=jnp.zeros(n_col, bool))
-        states = KFStates(
-            R=jnp.asarray(Rwb),
-            t=jnp.asarray(twb + rng.randn(n_kf, 3).astype(np.float32) * .02),
-            v=jnp.zeros((n_kf, 3), jnp.float32),
-            bg=jnp.zeros((n_kf, 3), jnp.float32),
-            ba=jnp.zeros((n_kf, 3), jnp.float32))
-        kf_dof = np.zeros((n_kf, 15), bool)
-        kf_dof[1:, :6] = True
-        opts = BAOptions(iters=iters, lambda0=1e-2, tol=0.0)
-        args = (states, jnp.asarray(points), prob, jnp.asarray(kf_dof),
-                jnp.ones(n_mp, bool), jnp.eye(3, dtype=jnp.float32),
-                jnp.zeros(3, jnp.float32), cam, opts)
-        # slope-timed per-iteration device cost: a sync solve pays ~2 link
-        # round trips (25-40 ms each on this harness), which would swamp
-        # the per-iter number — time iters=2 and iters=6 and divide
+    for label, n_kf, n_mp, n_col in (("", 16, 1024, 512),
+                                     ("", 32, 2048, 1024),
+                                     ("", 64, 4096, 2048),
+                                     ("LIBA-window", 50, 5120, 512),
+                                     ("GBA", 128, 8192, 2048)):
+        args, slot_k = _make_ba_bucket(n_kf, n_mp, n_col=n_col, seed=3,
+                                       free_from=1)
+        n_obs = n_mp * slot_k
+
         def run_ms(it):
             o = BAOptions(iters=it, lambda0=1e-2, tol=0.0)
-            a = args[:-1] + (o,)
-            solve_ba(*a)  # warm/compile
+            solve_ba(*args, o, slot_k=slot_k)  # warm/compile
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                _, _, info = solve_ba(*a)
+                _, _, info = solve_ba(*args, o, slot_k=slot_k)
                 float(np.asarray(info["final_chi2"]))
                 ts.append(time.perf_counter() - t0)
             return min(ts) * 1e3
@@ -628,12 +792,14 @@ def bench_solver_table(iters=4):
         t2 = run_ms(2)
         log(f"  [solver table: {n_kf}-KF bucket 2it done]")
         t6 = run_ms(6)
-        rows.append((n_kf, n_mp, n_obs, t6, (t6 - t2) / 4.0))
-    log("BA solver scaling (one-hot MXU assembly; per-iter slope-timed "
+        rows.append((label, n_kf, n_mp, n_obs, t6, (t6 - t2) / 4.0))
+    log("BA solver scaling (slot-major MXU assembly; per-iter slope-timed "
         "iters 2 vs 6 to cancel the harness round trips):")
     log("  KFs   MPs    obs    6it-solve-ms  device-ms/iter")
-    for n_kf, n_mp, n_obs, ms, mpi in rows:
-        log(f"  {n_kf:<5d} {n_mp:<6d} {n_obs:<6d} {ms:10.1f}  {mpi:9.1f}")
+    for label, n_kf, n_mp, n_obs, ms, mpi in rows:
+        tag = f"  ({label})" if label else ""
+        log(f"  {n_kf:<5d} {n_mp:<6d} {n_obs:<6d} {ms:10.1f}  {mpi:9.1f}"
+            f"{tag}")
 
 
 def _e2e_cam():
@@ -700,13 +866,52 @@ def _render_wireframe_euroc(n_frames=48, seed=7, speed=0.10):
     K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]])
     Btex = np.array([[1.0 / s, 0, wx0], [0, 1.0 / s, wy0], [0, 0, 6.0]])
 
+    # trajectory integrated discretely at IMU rate with the exact model the
+    # preintegration assumes (tests/synthetic_sequence.py) so the emitted
+    # IMU measurements are consistent with the rendered poses: base forward
+    # speed `speed`/frame with sinusoidal accel excitation (a constant
+    # velocity leaves metric scale unobservable to the IMU) and the same
+    # gentle yaw sweep as before. Camera == body (identity extrinsics).
+    fps, imu_hz = 20.0, 200.0
+    dt = 1.0 / imu_hz
+    steps = int(round(imu_hz / fps))
+    g = np.float32([0.0, 0.0, -9.81])
+    bx, wx = 0.12, 2.0   # x wobble: accel amplitude bx*wx^2 = 0.48
+    by, wy = 0.08, 1.5   # y bob: 0.18 m/s^2
+    accel_w = lambda tm: np.float32([-bx * wx * wx * np.sin(wx * tm),
+                                     -by * wy * wy * np.sin(wy * tm), 0.0])
+    gyro_b = lambda tm: np.float32([0.0, 0.12 * np.cos(4.0 * tm), 0.0])
+    from ppg_slam_tpu.geometry import so3 as _so3
+    import jax.numpy as _jnp
+
+    Rwb = np.eye(3, dtype=np.float32)
+    twb = np.zeros(3, np.float32)
+    vel = np.float32([speed * fps + bx * wx, by * wy, 0.0])
+    body_poses = [(Rwb.copy(), twb.copy())]
+    imu_rows = []
+    kk = 0
+    for _ in range(n_frames - 1):
+        for _ in range(steps):
+            tm = kk * dt
+            a_w = accel_w(tm)
+            w_b = gyro_b(tm)
+            imu_rows.append(np.concatenate(
+                [(Rwb.T @ (a_w - g)).astype(np.float32), w_b,
+                 [tm + dt]]).astype(np.float64))
+            twb = twb + vel * dt + 0.5 * a_w * dt * dt
+            vel = vel + a_w * dt
+            Rwb = Rwb @ np.asarray(_so3.exp(_jnp.asarray(w_b * dt)),
+                                   np.float32)
+            kk += 1
+        body_poses.append((Rwb.copy(), twb.copy()))
+    imu = np.stack(imu_rows)
+
     frames, poses = [], []
     img_rng = np.random.RandomState(seed + 100)
     for k in range(n_frames):
-        yaw = 0.03 * np.sin(0.2 * k)
-        Rcw = np.array([[np.cos(yaw), 0, -np.sin(yaw)], [0, 1, 0],
-                        [np.sin(yaw), 0, np.cos(yaw)]])
-        tcw = -Rcw @ np.array([speed * k, 0.0, 0.0])
+        Rwb_k, twb_k = body_poses[k]
+        Rcw = Rwb_k.T.astype(np.float64)
+        tcw = (-Rcw @ twb_k).astype(np.float64)
         M = Rcw @ Btex
         M[:, 2] += tcw
         img = cv2.warpPerspective(tex, (K @ M).astype(np.float64),
@@ -728,7 +933,7 @@ def _render_wireframe_euroc(n_frames=48, seed=7, speed=0.10):
         frames.append(np.clip(img.astype(np.int16) + noise, 0,
                               255).astype(np.uint8))
         poses.append((Rcw.astype(np.float32), tcw.astype(np.float32)))
-    return frames, poses
+    return frames, poses, imu
 
 
 def bench_e2e_live(n_frames=48, batch=8):
@@ -746,7 +951,7 @@ def bench_e2e_live(n_frames=48, batch=8):
     from ppg_slam_tpu.utils.evaluation import align_and_ate
     from ppg_slam_tpu.worldmap import Map, Rig, reset_ids
 
-    frames, gt_poses = _render_wireframe_euroc(n_frames)
+    frames, gt_poses, imu = _render_wireframe_euroc(n_frames)
     cam = _e2e_cam()
 
     def run(use_prefetch, use_mapper_thread=False):
@@ -754,17 +959,26 @@ def bench_e2e_live(n_frames=48, batch=8):
         ex = PPGExtractor(cam, desc_transfer="device", compute_dtype="bf16")
         rig = Rig(cam, freq=200.0)
         wmap = Map(rig)
-        Map.imu_ini_time = 1e9  # visual-only
+        # FULL inertial pipeline: IMU initializes ~2 s in, after which every
+        # frame runs predict_state_imu + the 2-frame VI filter on device
+        # (round 2 pinned imu_ini_time=1e9 and never timed the inertial
+        # steady state end-to-end)
+        Map.imu_ini_time = 2.0
         tracking = Tracking(wmap, ex)
         tracking.local_mapper = LocalMapping(wmap, tracking=tracking)
         if use_mapper_thread:  # the reference's 4-thread deployment
             tracking.local_mapper.start()
         pre = FramePrefetcher(ex, batch=batch, depth=2) if use_prefetch \
             else None
+        from ppg_slam_tpu.utils import profiler
         times = []
         fed = 0
+        last_t = -1.0
         est, gt = [], []
+        disp_marks = {}
         for k, img in enumerate(frames):
+            if k in (len(frames) - 17, len(frames) - 1):
+                disp_marks[k] = profiler.counters.get("device_dispatches", 0)
             t0 = time.perf_counter()
             feats = None
             if pre is not None:
@@ -772,7 +986,12 @@ def bench_e2e_live(n_frames=48, batch=8):
                     pre.feed(frames[fed])
                     fed += 1
                 feats = pre.get()
-            tracking.grab_image(img, k * 0.05, feats=feats)
+            t = k * 0.05
+            rows = imu[(imu[:, 6] > last_t) & (imu[:, 6] <= t + 1e-9)]
+            last_t = t
+            if len(rows):
+                tracking.grab_imu(rows)
+            tracking.grab_image(img, t, feats=feats)
             times.append(time.perf_counter() - t0)
             f = tracking.current
             if tracking.state == OK and f is not None and f.has_pose:
@@ -781,24 +1000,31 @@ def bench_e2e_live(n_frames=48, batch=8):
                 gt.append(-Rcw.T @ tcw)
         if use_mapper_thread:
             tracking.local_mapper.stop()
-        ok = tracking.state == OK
+        # steady-state tracking dispatches/frame over the last 16 frames
+        # (post-IMU-init: gated match + pose-inertial = 2, plus the serial
+        # extractor when no prefetcher is deployed)
+        marks = sorted(disp_marks)
+        dpf = ((disp_marks[marks[1]] - disp_marks[marks[0]]) / 16.0
+               if len(marks) == 2 else float("nan"))
+        ok = tracking.state == OK and wmap.imu_initialized
         ate = (align_and_ate(np.asarray(est), np.asarray(gt),
                              with_scale=True).rmse
                if len(est) > n_frames // 2 else float("nan"))
         # MEAN over the steady tail: the prefetcher amortizes extraction
         # over batch boundaries, so a median would hide the batch stalls
         steady = times[10:]
-        return float(np.mean(steady)) * 1e3, ok, wmap.n_keyframes(), ate
+        return (float(np.mean(steady)) * 1e3, ok, wmap.n_keyframes(), ate,
+                dpf)
 
     run(False)  # warm pass: compile every per-frame program untimed
     log("  [e2e: warm pass done]")
-    serial_ms, ok_s, kf_s, ate_s = run(False)
+    serial_ms, ok_s, kf_s, ate_s, dpf_s = run(False)
     log("  [e2e: serial pass done]")
-    async_ms, ok_a, kf_a, ate_a = run(True)
+    async_ms, ok_a, kf_a, ate_a, dpf_a = run(True)
     log("  [e2e: async pass done]")
     # full deployment: pipelined front-end + local mapping on its own
     # consumer thread (keyframe fuse/BA leave the per-frame critical path)
-    full_ms, ok_f, kf_f, ate_f = run(True, use_mapper_thread=True)
+    full_ms, ok_f, kf_f, ate_f, dpf_f = run(True, use_mapper_thread=True)
 
     # measure the link's dispatch round trip at run time: live tracking is
     # RT-bound on this harness (~3-5 dispatches/frame), so the absolute
@@ -814,7 +1040,8 @@ def bench_e2e_live(n_frames=48, batch=8):
         rts.append(time.perf_counter() - t0)
     rt_ms = float(np.median(rts)) * 1e3
     return ((serial_ms, async_ms, full_ms), ok_s and ok_a and ok_f,
-            (kf_s, kf_a, kf_f), (ate_s, ate_a, ate_f), rt_ms)
+            (kf_s, kf_a, kf_f), (ate_s, ate_a, ate_f), rt_ms,
+            (dpf_s, dpf_a, dpf_f))
 
 
 def main() -> None:
@@ -825,40 +1052,62 @@ def main() -> None:
     log(f"device gated matching (batch-32, 2048 queries, 8k-MP bank): "
         f"{mt:.2f} ms/frame")
     po = bench_pose_opt()
-    log(f"pose optimization (batch-32, 512 obs): {po:.2f} ms/frame")
+    log(f"pose optimization (batch-32, 512 obs, pre-IMU visual flavor): "
+        f"{po:.2f} ms/frame")
+    pi = bench_pose_inertial()
+    log(f"pose-inertial optimization (batch-32, 512 obs, 2-frame VI filter "
+        f"+ 30x30 marginalization — the post-IMU-init steady state): "
+        f"{pi:.2f} ms/frame")
     lba, kf_int = bench_lba()
-    log(f"local BA (16 KF/1k MP/8k obs, {lba:.1f} ms/solve steady-state, KF every "
-        f"{kf_int} frames): {lba / kf_int:.2f} ms/frame amortized")
+    log(f"local BA (50 KF/5k MP/40k obs — the reference's real LIBA window, "
+        f"{lba:.1f} ms/solve steady-state, KF every {kf_int} frames): "
+        f"{lba / kf_int:.2f} ms/frame amortized")
     try:
         fe_vi = bench_frontend_tumvi()
         log(f"front-end TUM-VI 512x512 KB8 bucket: {fe_vi:.2f} ms/frame "
             f"(20 fps x4 budget: 12.5 ms)")
     except Exception as e:
         log(f"TUM-VI front-end bucket skipped: {type(e).__name__}: {e}")
-    if os.environ.get("PPG_BENCH_1024"):
+    # the remaining BASELINE evaluation shapes, default-on (riding the
+    # persistent compile cache; cold compiles heartbeat so the stall
+    # watchdog doesn't kill the run; skip-on-failure keeps the gate safe)
+    if not os.environ.get("PPG_BENCH_NO_1024"):
         try:
             fe_hi = bench_frontend_tumvi(B=16, n_batches=4, size=1024)
             log(f"front-end TUM-VI 1024x1024 KB8 bucket: {fe_hi:.2f} "
-                f"ms/frame")
+                f"ms/frame (x4 budget at its native 20 fps: 12.5 ms)")
         except Exception as e:
             log(f"TUM-VI-1024 bucket skipped: {type(e).__name__}: {e}")
+        try:
+            fe_uma = bench_frontend_uma()
+            log(f"front-end UMA-VI 1024x768 KB8 bucket: {fe_uma:.2f} "
+                f"ms/frame")
+        except Exception as e:
+            log(f"UMA bucket skipped: {type(e).__name__}: {e}")
     try:
         bench_solver_table()
     except Exception as e:
         log(f"solver scaling table skipped: {type(e).__name__}: {e}")
     try:
-        (ser, asy, full), ok, kfs, ates, rt_ms = bench_e2e_live()
-        log(f"e2e live tracking (wireframe corridor, serving config): serial "
+        (ser, asy, full), ok, kfs, ates, rt_ms, dpfs = bench_e2e_live()
+        log(f"e2e live INERTIAL tracking (wireframe corridor + synthetic "
+            f"IMU, imu_ini_time=2s, serving config): serial "
             f"{ser:.1f} -> async front-end {asy:.1f} -> + threaded mapping "
-            f"{full:.1f} ms/frame (tracking ok={ok}, kfs={kfs}, synthetic "
-            f"ATE RMSE = {ates[0]:.3f}/{ates[1]:.3f}/{ates[2]:.3f} m; "
-            f"RT-bound on this harness: ~3-5 match/pose-opt dispatches per "
-            f"frame x {rt_ms:.0f} ms measured link round trip — deployment "
-            f"hardware pays ~0.2 ms per dispatch)")
+            f"{full:.1f} ms/frame (tracking+IMU-init ok={ok}, kfs={kfs}, "
+            f"synthetic ATE RMSE = {ates[0]:.3f}/{ates[1]:.3f}/{ates[2]:.3f} "
+            f"m; steady-state device dispatches/frame = "
+            f"{dpfs[0]:.1f}/{dpfs[1]:.1f}/{dpfs[2]:.1f} "
+            f"[serial incl. 1 extract] x {rt_ms:.0f} ms measured link round "
+            f"trip — RT-bound on this harness; deployment hardware pays "
+            f"~0.2 ms per dispatch)")
     except Exception as e:  # side metric must never break the gate
         log(f"e2e live tracking bench skipped: {type(e).__name__}: {e}")
 
-    total = fe + mt + po + lba / kf_int
+    # composite charges the STEADY-STATE per-frame optimizer (the inertial
+    # 2-frame filter, which replaces the visual-only pose opt once the IMU
+    # initializes ~2 s into any run) — the more expensive and the
+    # deployment-representative flavor
+    total = fe + mt + max(po, pi) + lba / kf_int
     print(json.dumps({
         "metric": "frontend_match_pose_lba_ms_per_frame",
         "value": round(total, 3),

@@ -171,6 +171,8 @@ class DeviceMatcher:
                 if mp.mnId in self._slot_of]
         if not live:
             return GatedRows({}, 0, 0)
+        from ..utils import profiler
+        profiler.count("device_dispatches")
         m = _bucket(len(live))
         bank_idx = np.full(m, -1, np.int32)
         rects = np.zeros((m, 4), np.float32)

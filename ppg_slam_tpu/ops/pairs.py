@@ -164,8 +164,8 @@ def _rate_grid(mask, h, w, ps, pe, seg, n_slots):
     posx, posy, live = _grid_positions(ps, pe, seg, n_slots)
     n = c * n_slots
     pad = _pad_to_chunks(n) - n
-    fy = jnp.concatenate([posy.reshape(-1), jnp.zeros(pad)])
-    fx = jnp.concatenate([posx.reshape(-1), jnp.zeros(pad)])
+    fy = jnp.concatenate([posy.reshape(-1), jnp.zeros(pad, jnp.float32)])
+    fx = jnp.concatenate([posx.reshape(-1), jnp.zeros(pad, jnp.float32)])
     inl = nearest_binary_packed(mask, _round_clip(fy, h - 1),
                                 _round_clip(fx, w - 1))[:n].reshape(c,
                                                                     n_slots)
@@ -181,8 +181,11 @@ def _score_grid(heat, ps, pe, seg, n_slots):
     posx, posy, live = _grid_positions(ps, pe, seg, n_slots)
     n = c * n_slots
     pad = _pad_to_chunks(n) - n
-    fy = jnp.concatenate([posy.reshape(-1), jnp.zeros(pad)])
-    fx = jnp.concatenate([posx.reshape(-1), jnp.zeros(pad)])
+    # explicit f32 pad: under the tests' x64 mode a default-dtype zeros
+    # promotes the whole sample grid (and the downstream scatter value) to
+    # f64 — a FutureWarning today, an error in a future JAX
+    fy = jnp.concatenate([posy.reshape(-1), jnp.zeros(pad, jnp.float32)])
+    fx = jnp.concatenate([posx.reshape(-1), jnp.zeros(pad, jnp.float32)])
     bil = bilinear_f32(heat, fy, fx)[:n].reshape(c, n_slots)
     ssum = jnp.sum(jnp.where(live, bil, 0.0), axis=1)
     return ssum / jnp.maximum(seg - 1, 1).astype(jnp.float32)

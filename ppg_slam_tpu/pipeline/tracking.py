@@ -131,6 +131,7 @@ class Tracking:
         from ..utils import profiler
 
         if feats is None:
+            profiler.count("device_dispatches")
             with profiler.timer("tracking.extract"):
                 feats = self.extractor.extract(image)
         frame = Frame(feats, timestamp, self.rig)
@@ -158,8 +159,18 @@ class Tracking:
         # whole step runs under the re-entrant map update lock so a
         # background-GBA thread's gather/apply phases (loop_closing.py)
         # always see a consistent map snapshot. Single-threaded pipelines
-        # pay only an uncontended RLock acquire.
+        # pay only an uncontended RLock acquire. The measured wait
+        # ("tracking.lock_wait") is the overlap diagnostic for the threaded
+        # mapper: solve phases run unlocked, so a healthy deployment shows
+        # near-zero wait here while BAs are in flight.
+        import time as _time
+
+        from ..utils import profiler
+
+        t0 = _time.perf_counter()
         with self.map.update_lock:
+            profiler.add_time("tracking.lock_wait",
+                              _time.perf_counter() - t0)
             self._track_impl()
 
     def _track_impl(self) -> None:
@@ -705,6 +716,7 @@ class Tracking:
     def _run_pose_optimization(self, frame: Frame) -> int:
         from ..utils import profiler
 
+        profiler.count("device_dispatches")
         with profiler.timer("tracking.pose_opt"):
             return self._run_pose_optimization_impl(frame)
 
@@ -755,12 +767,15 @@ class Tracking:
             uv[k] = frame.kp_un[i]
             valid[k] = True
             close[k] = 0 < mp.track_depth < 10.0
+        f32 = jnp.float32  # explicit: default dtypes go f64 under x64 mode
         if fix_prev:
             src = self.last_kf
             p = self.preint_from_kf
-            prior = Prior15(R=jnp.eye(3), t=jnp.zeros(3), v=jnp.zeros(3),
-                            bg=jnp.zeros(3), ba=jnp.zeros(3),
-                            H=jnp.zeros((15, 15)), valid=jnp.asarray(False))
+            prior = Prior15(R=jnp.eye(3, dtype=f32), t=jnp.zeros(3, f32),
+                            v=jnp.zeros(3, f32), bg=jnp.zeros(3, f32),
+                            ba=jnp.zeros(3, f32),
+                            H=jnp.zeros((15, 15), f32),
+                            valid=jnp.asarray(False))
             prev = FrameVIState(
                 R=jnp.asarray(src.imu_rotation()),
                 t=jnp.asarray(src.imu_position()),
@@ -783,7 +798,8 @@ class Tracking:
                                 v=jnp.asarray(src.velocity),
                                 bg=jnp.asarray(src.bias[:3]),
                                 ba=jnp.asarray(src.bias[3:]),
-                                H=jnp.eye(15) * 1e2, valid=jnp.asarray(True))
+                                H=jnp.eye(15, dtype=f32) * 1e2,
+                                valid=jnp.asarray(True))
             prev = FrameVIState(
                 R=jnp.asarray(src.imu_rotation()),
                 t=jnp.asarray(src.imu_position()),
@@ -807,6 +823,8 @@ class Tracking:
             t=jnp.asarray(frame.imu_position()),
             v=jnp.asarray(frame.velocity), bg=jnp.asarray(frame.bias[:3]),
             ba=jnp.asarray(frame.bias[3:]))
+        from ..utils import profiler as _prof
+        _prof.count("device_dispatches")
         c, inlier, n_in, new_prior = pose_inertial_optimization(
             curr, prev, preint, prior, jnp.asarray(X), jnp.asarray(uv),
             jnp.asarray(valid), jnp.asarray(close),

@@ -445,7 +445,10 @@ class TestAssemblyPathEquivalence:
                 jnp.ones(n_mp, bool), jnp.eye(3, dtype=jnp.float32),
                 jnp.zeros(3, jnp.float32), CAM)
 
-    @pytest.mark.parametrize("force_onehot,n_mp", [("0", 40), ("1", 44)])
+    @pytest.mark.parametrize("force_onehot,n_mp", [
+        ("1", 44),                                   # the production TPU path
+        pytest.param("0", 40, marks=pytest.mark.slow),  # scatter+slot combo
+    ])
     def test_slot_solver_matches_flat(self, monkeypatch, force_onehot, n_mp):
         """slot_k>0 (slot-major W/Hll assembly — the large-bucket scaling
         path) must match the flat layout through a full damped-GN run, on

@@ -13,7 +13,9 @@ KB8 projections.
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # 512^2 KB8 CNN pipeline on CPU: opt-in lane
+# Default lane: the extractor smoke (one 512^2 KB8 extraction + remap
+# equivalence) — the only real-extractor fisheye coverage in the
+# verification window. Slow lane: the full tracking pipeline below.
 
 import jax.numpy as jnp
 
@@ -114,6 +116,7 @@ class TestKB8Extractor:
         np.testing.assert_allclose(dev, host, atol=1e-4)
 
 
+@pytest.mark.slow  # multi-frame 512^2 CNN tracking: opt-in lane
 class TestKB8Pipeline:
     def test_visual_tracking(self, kb8_extractor):
         """Short KB8 sequence through the real pipeline: init + tracking."""

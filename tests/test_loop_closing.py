@@ -108,8 +108,16 @@ class TestLoopClosing:
             errs.append(np.degrees(np.arccos(cos_up)))
         assert np.median(errs) < 2.0, f"roll/pitch corrupted: {np.median(errs)}"
 
+    # Golden-trajectory pin for the loop sequence (same policy as
+    # tests/test_pipeline_e2e.py::PINNED_ATE_M): deterministic fixture,
+    # 2x band, re-pin deliberately on intended changes.
+    PINNED_POST_LOOP_ATE_M = 0.012
+
     def test_ate_improves_after_loop(self, loop_run):
         seq, wmap, tracking, lc, pre = loop_run
         post = _ate(list(wmap.keyframes), seq)
         assert "ate" in pre, "correct_loop never ran"
         assert post < pre["ate"], (pre["ate"], post)
+        assert post < 2.0 * self.PINNED_POST_LOOP_ATE_M, (
+            f"post-loop ATE regressed: {post:.4f} m vs pinned "
+            f"{self.PINNED_POST_LOOP_ATE_M} m")

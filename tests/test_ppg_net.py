@@ -18,8 +18,10 @@ NET_DIR = "/root/reference/net"
 
 torch = pytest.importorskip("torch")
 
+# Default lane (was slow-lane in r2): the TorchScript golden parity is the
+# single most load-bearing fidelity check and costs ~10 s — it must run in
+# every verification window, not opt-in.
 pytestmark = [
-    pytest.mark.slow,  # torch-CPU golden parity: opt-in lane (pytest.ini)
     pytest.mark.skipif(
         not os.path.exists(os.path.join(NET_DIR, "Backbone.pt")),
         reason="reference nets not available",
