@@ -1092,8 +1092,20 @@ class Tracking:
     # keyframe policy (Tracking.cpp:913-972)
     # ------------------------------------------------------------------
     def need_new_keyframe(self) -> bool:
-        if self.local_mapper is not None and not self.local_mapper.idle():
-            return False
+        lm = self.local_mapper
+        if lm is not None and not lm.idle():
+            # The reference skips KF insertion while local mapping is busy
+            # (Tracking.cpp:916) — fine when the mapper's wall time is
+            # below the KF cadence. On hosts where one keyframe's
+            # fuse+LBA outlasts the 0.1 s cadence that policy STARVES the
+            # map (measured on the 1-core A/B: threaded-free-run kept 17
+            # of 33 keyframes and ATE doubled 0.18->0.40 m). When the
+            # consumer thread is mid-keyframe with an EMPTY queue, allow
+            # one more: insert_keyframe sets abort_ba, the chunked GN
+            # poll cuts the running solve short (the reference's own
+            # mbAbortBA design intent), and the queue stays <= 1.
+            if lm._thread is None or lm.queue:
+                return False
         if self.last_kf is None:
             return True
         # don't spawn keyframes from frames that barely track (the reference
