@@ -178,12 +178,31 @@ class BAOptions:
     # two consecutive iterations — g2o's default terminate action (small
     # gain stops the LM loop); 0 disables and always runs `iters`.
     tol: float = 1e-3
+    # Reduced-pose-system solver: 0 = dense Cholesky, >0 = block-Jacobi
+    # PCG with that iteration cap (early exit at 1e-6 relative residual).
+    # None = auto (PCG on accelerators, Cholesky on CPU): XLA's TPU
+    # Cholesky+triangular-solve custom-call costs 3.2 ms/iter at the
+    # 64-KF bucket (35% of the whole solve, profiled) and scales ~N^3,
+    # while the damped SPD system solves in tens of cheap matvecs.
+    pose_cg_iters: Optional[int] = None
 
 
 def _opt_leaf(x, np_type):
     """Option field -> strongly-typed scalar leaf (Python numbers would trace
-    as weak — f64 under the tests' x64 mode — and fork programs)."""
-    return x if isinstance(x, jax.Array) else np_type(x)
+    as weak — f64 under the tests' x64 mode — and fork programs). Non-numeric
+    leaves (tracers, jax-internal ArgInfo placeholders in lower()/
+    cost_analysis round-trips) pass through untouched."""
+    if isinstance(x, (bool, int, float, np.floating, np.integer)):
+        return np_type(x)
+    return x
+
+
+def _resolve_pose_cg(v):
+    """None -> backend default (PCG on accelerators, Cholesky on CPU).
+    Resolved at pytree-flatten time (host), so it is static aux data."""
+    if v is None:
+        return 64 if jax.default_backend() != "cpu" else 0
+    return v
 
 
 jax.tree_util.register_pytree_node(
@@ -196,11 +215,11 @@ jax.tree_util.register_pytree_node(
                 _opt_leaf(o.coline_delta, np.float32),
                 _opt_leaf(o.chi2_inlier_mono, np.float32),
                 _opt_leaf(o.tol, np.float32)),
-               (o.adapt, o.pcg_iters)),
+               (o.adapt, o.pcg_iters, _resolve_pose_cg(o.pose_cg_iters))),
     lambda aux, ls: BAOptions(
         iters=ls[0], lambda0=ls[1], reproj_kernel=ls[2], reproj_delta=ls[3],
         coline_kernel=ls[4], coline_delta=ls[5], chi2_inlier_mono=ls[6],
-        tol=ls[7], adapt=aux[0], pcg_iters=aux[1]),
+        tol=ls[7], adapt=aux[0], pcg_iters=aux[1], pose_cg_iters=aux[2]),
 )
 
 
@@ -224,6 +243,64 @@ def make_reproj_residual(cam: CameraModel, Rcb, tcb):
         return uv - cam.project(Xc)
 
     return res
+
+
+def _outer_dd(Ja, Jb):
+    """sum_d Ja[:, d, :, None] * Jb[:, d, None, :] — per-row residual-dim
+    contraction as broadcast-multiply-reduce (a batched (i,d)@(d,j) dot
+    lowers to grouped-convolution fusions on TPU, ms-scale at O~32k)."""
+    return jnp.sum(Ja[:, :, :, None] * Jb[:, :, None, :], axis=1)
+
+
+def _jtr_d(J, r):
+    """sum_d J[:, d, :] * r[:, d, None] — J^T r per row, elementwise."""
+    return jnp.sum(J * r[:, :, None], axis=1)
+
+
+def _shared_right_mm(A, M):
+    """Per-row (O,3,3) @ shared (3,3) as ONE large 2D matmul: per-row
+    batched small matmuls lower to pathological grouped-convolution
+    fusions on TPU (profiled: ms-scale inside the BA solve)."""
+    o = A.shape[0]
+    return jnp.matmul(A.reshape(o * 3, 3), M).reshape(o, 3, 3)
+
+
+def _reproj_batch(cam: CameraModel, Rcb, tcb, Rg, tg, Xg, uv,
+                  want_jac: bool):
+    """Batched reprojection residual (+ analytic Jacobians) with NO
+    per-observation batched matmuls — elementwise multiply-reduce and
+    shared-matrix 2D matmuls only. Exactly the linearization jacfwd
+    produced from `make_reproj_residual` at delta = 0 (asserted in
+    tests/test_estimator.py), an order of magnitude cheaper on TPU.
+
+    Returns (r (O,2), depth (O,), Jk (O,2,6), Jx (O,2,3)); the Jacobians
+    are None when want_jac is False."""
+    d = Xg - tg                                        # (O, 3)
+    Xb = jnp.sum(Rg * d[:, :, None], axis=1)           # R^T d, elementwise
+    Xc = Xb @ Rcb.T + tcb                              # shared 2D matmul
+    r = uv - cam.project(Xc)
+    depth = Xc[..., 2]
+    if not want_jac:
+        return r, depth, None, None
+    Jp = cam.project_jac(Xc)                           # (O, 2, 3) elementwise
+    # dXc/dX = Rcb R^T:   A[o] = Rcb @ Rg[o]^T  (shared-left matmul)
+    A = _shared_right_mm(Rg, Rcb.T).transpose(0, 2, 1)
+    # dXb/dtheta = [Xb]_x (right-mult convention: see make_reproj_residual)
+    z = jnp.zeros_like(Xb[:, 0])
+    Sk = jnp.stack([
+        jnp.stack([z, -Xb[:, 2], Xb[:, 1]], -1),
+        jnp.stack([Xb[:, 2], z, -Xb[:, 0]], -1),
+        jnp.stack([-Xb[:, 1], Xb[:, 0], z], -1),
+    ], -2)                                             # (O, 3, 3)
+    B = _shared_right_mm(Sk.transpose(0, 2, 1), Rcb.T).transpose(0, 2, 1)
+    # J* = -Jp @ {A, B} as elementwise multiply-reduce (2x3x3 per row)
+    Jx = -jnp.sum(Jp[:, :, :, None] * A[:, None, :, :], axis=2)
+    Jth = -jnp.sum(Jp[:, :, :, None] * B[:, None, :, :], axis=2)
+    # dr/d(dt) = +Jp @ Rcb (shared 2D matmul)
+    o = Jp.shape[0]
+    Jdt = jnp.matmul(Jp.reshape(o * 2, 3), Rcb).reshape(o, 2, 3)
+    Jk = jnp.concatenate([Jth, Jdt], axis=-1)          # (O, 2, 6)
+    return r, depth, Jk, Jx
 
 
 def coline_residual(d1, d2, d3, X1, X2, X3):
@@ -380,6 +457,33 @@ def _mp_accum(target, vals, r_mp, E_mp_tail, slot_k):
     return out
 
 
+def _inv3x3(A):
+    """Closed-form batched 3x3 inverse via the adjugate — pure elementwise
+    math that fuses; jnp.linalg.inv lowers to an LU custom-call + gather
+    chain on TPU (profiled inside the BA solve loop). Callers pass
+    regularized SPD blocks (det > 0)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c11 = e * i - f * h
+    c12 = c * h - b * i
+    c13 = b * f - c * e
+    c21 = f * g - d * i
+    c22 = a * i - c * g
+    c23 = c * d - a * f
+    c31 = d * h - e * g
+    c32 = b * g - a * h
+    c33 = a * e - b * d
+    det = a * c11 + b * c21 + c * c31
+    inv_det = 1.0 / det
+    rows = jnp.stack([
+        jnp.stack([c11, c12, c13], -1),
+        jnp.stack([c21, c22, c23], -1),
+        jnp.stack([c31, c32, c33], -1),
+    ], -2)
+    return rows * inv_det[..., None, None]
+
+
 # ---------------------------------------------------------------------------
 # the solver
 # ---------------------------------------------------------------------------
@@ -421,7 +525,6 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     mp_mask = mp_free.astype(dtype)  # (M,)
 
     # ---- reprojection ---------------------------------------------------
-    res_fn = make_reproj_residual(cam, Rcb, tcb)
     mk = m * slot_k
     E_kf = _onehot(prob.r_kf, n, dtype)   # (O, N) or None on CPU
     # slot-major: landmark-side one-hot only for the (small) overflow tail
@@ -432,18 +535,11 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     tg = _sel(E_kf, states.t, prob.r_kf)
     Xg = _mp_gather(points, prob.r_mp, E_mp, slot_k)
 
-    def reproj_one(R, t, X, uv):
-        # 6-DOF pose tangent only: reprojection does not depend on
-        # velocity/bias, so the other 9 Jacobian columns are exactly zero
-        # — not computing them halves the jacfwd tangents (9 vs 18) and
-        # shrinks every downstream assembly matmul
-        r = res_fn(jnp.zeros(6, dtype), jnp.zeros(3, dtype), R, t, X, uv)
-        Jk, Jx = jax.jacfwd(res_fn, argnums=(0, 1))(
-            jnp.zeros(6, dtype), jnp.zeros(3, dtype), R, t, X, uv
-        )
-        return r, Jk, Jx
-
-    r, Jk, Jx = jax.vmap(reproj_one)(Rg, tg, Xg, prob.r_uv)  # Jk: (O, 2, 6)
+    # analytic batched linearization (no per-obs vmapped jacfwd: its tiny
+    # batched matmuls lower to ms-scale convolution fusions on TPU). Only
+    # the 6 pose columns: reprojection does not depend on velocity/bias.
+    r, _, Jk, Jx = _reproj_batch(cam, Rcb, tcb, Rg, tg, Xg, prob.r_uv,
+                                 want_jac=True)        # Jk: (O, 2, 6)
     rv = prob.r_valid[:, None]
     r = jnp.where(rv, r, 0.0)
     Jk = jnp.where(rv[..., None], Jk, 0.0)
@@ -464,7 +560,7 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     pad9 = ((0, 0), (0, DOF - 6), (0, DOF - 6))
 
     # assembly: E^T-matmuls on MXU; scatter-adds on CPU
-    blocks_kk = sw * jnp.einsum("odi,odj->oij", Jk, Jk)    # (O, 6, 6)
+    blocks_kk = sw * _outer_dd(Jk, Jk)                     # (O, 6, 6)
     if E_kf is None:
         Hpp = Hpp.at[prob.r_kf, :, prob.r_kf, :].add(
             jnp.pad(blocks_kk, pad9))
@@ -473,28 +569,34 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
             _accum_into(jnp.zeros((n, 6, 6), dtype), E_kf, prob.r_kf,
                         blocks_kk), pad9))
     bacc = _accum_into(jnp.zeros((n, 6), dtype), E_kf, prob.r_kf,
-                       w[:, None] * jnp.einsum("odi,od->oi", Jk, r))
+                       w[:, None] * _jtr_d(Jk, r))
     b_p = b_p + jnp.pad(bacc, ((0, 0), (0, DOF - 6)))
-    Hll = _mp_accum(Hll, sw * jnp.einsum("odi,odj->oij", Jx, Jx),
+    Hll = _mp_accum(Hll, sw * _outer_dd(Jx, Jx),
                     prob.r_mp, E_mp, slot_k)
-    b_l = _mp_accum(b_l, w[:, None] * jnp.einsum("odi,od->oi", Jx, r),
+    b_l = _mp_accum(b_l, w[:, None] * _jtr_d(Jx, r),
                     prob.r_mp, E_mp, slot_k)
     # W[m, i, n*6+k]: per-obs (3,6) block into its KF pose-column band
-    Bw = sw * jnp.einsum("odi,odj->oij", Jx, Jk)          # (O, 3, 6)
+    Bw = sw * _outer_dd(Jx, Jk)                            # (O, 3, 6)
     if slot_k:
         # each landmark's K slots scatter only into that landmark's row of
-        # W: an O(M x K x N) one-hot einsum replaces the flat path's
+        # W: an O(M x K x N) slot-sum replaces the flat path's
         # O(obs x M x N) assembly (the round-2 scaling bottleneck)
         Bs = Bw[:mk].reshape(m, slot_k, 3, 6)
         if E_kf is None:
             kf_slots = prob.r_kf[:mk].reshape(m, slot_k)
             G = jnp.zeros((m, n, 3, 6), dtype).at[
                 jnp.arange(m)[:, None], kf_slots].add(Bs)
+            W = W + G.transpose(0, 2, 1, 3).reshape(m, 3, n * 6)
         else:
+            # broadcast-multiply + K-reduction, NOT a one-hot einsum: the
+            # HIGHEST-precision einsum form lowered to three convolution
+            # passes costing 1.4 ms/iter at the 64-KF bucket (profiled);
+            # the select-and-reduce is exact by construction and
+            # bandwidth-bound only
             E_slot = E_kf[:mk].reshape(m, slot_k, n)
-            G = jnp.einsum("mkn,mkij->mnij", E_slot, Bs,
-                           precision=_PREC_EXACT)
-        W = W + G.transpose(0, 2, 1, 3).reshape(m, 3, n * 6)
+            Gt = (E_slot[:, :, None, :, None]
+                  * Bs[:, :, :, None, :]).sum(1)      # (M, 3, N, 6)
+            W = W + Gt.reshape(m, 3, n * 6)
     if slot_k == 0 or Bw.shape[0] > mk:
         Bw_t = Bw if slot_k == 0 else Bw[mk:]
         r_kf_t = prob.r_kf if slot_k == 0 else prob.r_kf[mk:]
@@ -667,7 +769,6 @@ def _chi2_only(states, points, prob, cam, Rcb, tcb, opts, axis=None,
     n = states.R.shape[0]
     m = points.shape[0]
     mk = m * slot_k
-    res_fn = make_reproj_residual(cam, Rcb, tcb)
     E_kf = _onehot(prob.r_kf, n, dtype)
     E_mp = (_onehot(prob.r_mp, m, dtype) if slot_k == 0
             else (_onehot(prob.r_mp[mk:], m, dtype)
@@ -676,11 +777,8 @@ def _chi2_only(states, points, prob, cam, Rcb, tcb, opts, axis=None,
     tg = _sel(E_kf, states.t, prob.r_kf)
     Xg = _mp_gather(points, prob.r_mp, E_mp, slot_k)
 
-    def reproj_one(R, t, X, uv):
-        return res_fn(jnp.zeros(DOF, dtype), jnp.zeros(3, dtype),
-                      R, t, X, uv)
-
-    r = jax.vmap(reproj_one)(Rg, tg, Xg, prob.r_uv)
+    r, _, _, _ = _reproj_batch(cam, Rcb, tcb, Rg, tg, Xg, prob.r_uv,
+                               want_jac=False)
     chi2 = jnp.sum(r * r, axis=1)
     total = jnp.sum(jnp.where(prob.r_valid,
                               kernel_rho(opts.reproj_kernel, chi2,
@@ -776,7 +874,7 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
         # landmark block inverses (regularized for padded/fixed landmarks)
         eye3 = jnp.eye(3, dtype=dtype)
         Hll_r = Hll + (lam + 1e-8) * eye3[None]
-        Hll_inv = jnp.linalg.inv(Hll_r)
+        Hll_inv = _inv3x3(Hll_r)
 
         # Schur: S = Hpp - W^T Hll^-1 W; rhs = b_p - W^T Hll^-1 b_l.
         # W spans only the 6 pose columns per KF (reprojection is the only
@@ -798,8 +896,47 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
         S = jnp.where(dof_flat[:, None] * dof_flat[None, :] > 0, S, 0.0)
         S = S + jnp.diag(jnp.where(dof_flat > 0, 0.0, 1.0))
 
-        L = jnp.linalg.cholesky(S)
-        dx_p = -jax.scipy.linalg.cho_solve((L, True), rhs)
+        if opts.pose_cg_iters and opts.pose_cg_iters > 0:
+            # Block-Jacobi PCG on the damped SPD reduced system: XLA's
+            # dense Cholesky + two triangular solves are a sequential
+            # custom-call (~3.2 ms/iter at 64 KFs, ~N^3) while tens of
+            # (N15,N15) matvecs are bandwidth-trivial. Early exit at 1e-6
+            # relative residual; the LM accept/reject loop absorbs any
+            # residual inexactness.
+            d_inv = 1.0 / jnp.maximum(jnp.diag(S), 1e-12)
+
+            def prec(x):
+                return x * d_inv
+
+            x0 = jnp.zeros(n15, dtype)
+            r0 = rhs
+            z0 = prec(r0)
+            rz0 = jnp.dot(r0, z0)
+            rr_ref = jnp.dot(r0, r0)
+
+            def cg_cond(c):
+                it, _, r_, _, _, _ = c
+                return (it < opts.pose_cg_iters) & (
+                    jnp.dot(r_, r_) > 1e-12 * rr_ref)
+
+            def cg_body(c):
+                it, x, r_, z_, p_, rz = c
+                Sp = S @ p_
+                alpha = rz / jnp.maximum(jnp.dot(p_, Sp), 1e-30)
+                x = x + alpha * p_
+                r_n = r_ - alpha * Sp
+                z_n = prec(r_n)
+                rz_n = jnp.dot(r_n, z_n)
+                beta = rz_n / jnp.maximum(rz, 1e-30)
+                return (it + 1, x, r_n, z_n, z_n + beta * p_, rz_n)
+
+            _, sol, _, _, _, _ = jax.lax.while_loop(
+                cg_cond, cg_body,
+                (jnp.asarray(0, jnp.int32), x0, r0, z0, z0, rz0))
+            dx_p = -sol
+        else:
+            L = jnp.linalg.cholesky(S)
+            dx_p = -jax.scipy.linalg.cho_solve((L, True), rhs)
         dx_p = jnp.where(dof_flat > 0, dx_p, 0.0)
 
         # back-substitute landmarks: A dx_l = -(b_l + W dx_p), where
@@ -912,23 +1049,17 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
     iters_run = it_f
 
     # final per-observation chi2 + depth for outlier classification
-    res_fn = make_reproj_residual(cam, Rcb, tcb)
     mk_f = m * slot_k
     E_kf_f = _onehot(prob.r_kf, n, dtype)
     E_mp_f = (_onehot(prob.r_mp, m, dtype) if slot_k == 0
               else (_onehot(prob.r_mp[mk_f:], m, dtype)
                     if prob.r_mp.shape[0] > mk_f else None))
-
-    def obs_chi2(R, t, X, uv):
-        r = res_fn(jnp.zeros(DOF, dtype), jnp.zeros(3, dtype), R, t, X, uv)
-        Xb = R.T @ (X - t)
-        Xc = Rcb @ Xb + tcb
-        return jnp.sum(r * r), Xc[2]
-
-    obs_chi2_v, obs_depth = jax.vmap(obs_chi2)(
-        _sel(E_kf_f, states_f.R, prob.r_kf),
+    r_f, obs_depth, _, _ = _reproj_batch(
+        cam, Rcb, tcb, _sel(E_kf_f, states_f.R, prob.r_kf),
         _sel(E_kf_f, states_f.t, prob.r_kf),
-        _mp_gather(points_f, prob.r_mp, E_mp_f, slot_k), prob.r_uv)
+        _mp_gather(points_f, prob.r_mp, E_mp_f, slot_k), prob.r_uv,
+        want_jac=False)
+    obs_chi2_v = jnp.sum(r_f * r_f, axis=1)
     return states_f, points_f, dict(chi2_hist=chi2_hist,
                                     final_chi2=final_chi2, lam=lam_f,
                                     iters_run=iters_run,

@@ -207,8 +207,12 @@ class CameraModel:
 
 def _cam_leaf(x):
     """Intrinsic -> strongly-typed f32 leaf (Python floats would become
-    weak f64 under the tests' x64 mode and fork compiled programs)."""
-    return x if isinstance(x, jax.Array) else np.float32(x)
+    weak f64 under the tests' x64 mode and fork compiled programs).
+    Non-numeric leaves (tracers, jax-internal ArgInfo placeholders during
+    lower()/cost_analysis round-trips) pass through untouched."""
+    if isinstance(x, (int, float, np.floating, np.integer)):
+        return np.float32(x)
+    return x
 
 
 # CameraModel is ALSO a pytree: intrinsics (fx, fy, cx, cy, dist) are runtime

@@ -160,18 +160,27 @@ def inverse_right_jacobian(w: jax.Array) -> jax.Array:
 
 
 def normalize(R: jax.Array) -> jax.Array:
-    """Re-orthonormalize rotation matrices via SVD (reference NormalizeRotation)."""
+    """Re-orthonormalize rotation matrices (reference NormalizeRotation).
+
+    Host/numpy path: exact SVD polar factor (robust for arbitrary input).
+    JAX path: two Newton–Schulz polar iterations — every traced caller
+    feeds products of rotations (drift ~f32 roundoff, well inside the
+    ||RᵀR − I|| < 1 convergence region), and jnp.linalg.svd lowers to a
+    QDWH custom-call + while loop that was the single costliest op of the
+    whole BA solve on TPU (profiled: ~3 ms/GN-iteration at 64 KFs)."""
     xp = _xp(R)
-    u, _, vt = xp.linalg.svd(R)
-    Rn = u @ vt
-    # keep det = +1
-    det = xp.linalg.det(Rn)
     if xp is np:
+        u, _, vt = np.linalg.svd(R)
+        Rn = u @ vt
+        det = np.linalg.det(Rn)
         u_fixed = u.copy()
         u_fixed[..., :, 2] *= np.sign(det)[..., None]
-    else:
-        u_fixed = u.at[..., :, 2].multiply(jnp.sign(det)[..., None])
-    return xp.where((det > 0)[..., None, None], Rn, u_fixed @ vt)
+        return np.where((det > 0)[..., None, None], Rn, u_fixed @ vt)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    for _ in range(2):
+        RtR = jnp.einsum("...ji,...jk->...ik", R, R)
+        R = 0.5 * (R @ (3.0 * eye - RtR))
+    return R
 
 
 def quat_to_matrix(q: jax.Array) -> jax.Array:
