@@ -742,9 +742,14 @@ def bench_lba(n_kf=50, n_mp=5120, n_col=512, iters=6, n_runs=5,
             pass
         return h
 
-    pend = [dispatch() for _ in range(2)]
+    # FOUR solves in flight: at ~2 ms/GN-iteration the 6-iter device solve
+    # (~12-15 ms) is shorter than one ~29 ms harness link round trip, so a
+    # 2-deep pipeline measured the link, not the solver (round 3 first
+    # cut: 40.6 "ms/solve"). The mapper thread pipelines solves against
+    # tracking exactly like this in deployment.
+    pend = [dispatch() for _ in range(4)]
     times = []
-    for _ in range(n_runs):
+    for _ in range(n_runs * 2):
         t0 = time.perf_counter()
         pend.append(dispatch())
         float(np.asarray(pend.pop(0))[-1])
@@ -781,7 +786,7 @@ def bench_solver_table():
             o = BAOptions(iters=it, lambda0=1e-2, tol=0.0)
             solve_ba(*args, o, slot_k=slot_k)  # warm/compile
             ts = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 _, _, info = solve_ba(*args, o, slot_k=slot_k)
                 float(np.asarray(info["final_chi2"]))
@@ -791,10 +796,12 @@ def bench_solver_table():
         log(f"  [solver table: {n_kf}-KF bucket compiling/timing]")
         t2 = run_ms(2)
         log(f"  [solver table: {n_kf}-KF bucket 2it done]")
-        t6 = run_ms(6)
-        rows.append((label, n_kf, n_mp, n_obs, t6, (t6 - t2) / 4.0))
-    log("BA solver scaling (slot-major MXU assembly; per-iter slope-timed "
-        "iters 2 vs 6 to cancel the harness round trips):")
+        t18 = run_ms(18)
+        mpi = (t18 - t2) / 16.0
+        rows.append((label, n_kf, n_mp, n_obs, t2 + 4 * mpi, mpi))
+    log("BA solver scaling (slot-major assembly + analytic batched "
+        "linearization; per-iter slope-timed iters 2 vs 18 to cancel the "
+        "harness round trips; 6it column = 2it wall + 4 x slope):")
     log("  KFs   MPs    obs    6it-solve-ms  device-ms/iter")
     for label, n_kf, n_mp, n_obs, ms, mpi in rows:
         tag = f"  ({label})" if label else ""
@@ -977,7 +984,6 @@ def bench_e2e_live(n_frames=80, batch=8):
         times = []
         fed = 0
         last_t = -1.0
-        est, gt = [], []
         disp_marks = {}
         for k, img in enumerate(frames):
             if k in (len(frames) - 17, len(frames) - 1):
@@ -996,11 +1002,6 @@ def bench_e2e_live(n_frames=80, batch=8):
                 tracking.grab_imu(rows)
             tracking.grab_image(img, t, feats=feats)
             times.append(time.perf_counter() - t0)
-            f = tracking.current
-            if tracking.state == OK and f is not None and f.has_pose:
-                est.append(-f.Rcw.T @ f.tcw)
-                Rcw, tcw = gt_poses[k]
-                gt.append(-Rcw.T @ tcw)
         if use_mapper_thread:
             tracking.local_mapper.stop()
         # steady-state tracking dispatches/frame over the last 16 frames
@@ -1010,9 +1011,24 @@ def bench_e2e_live(n_frames=80, batch=8):
         dpf = ((disp_marks[marks[1]] - disp_marks[marks[0]]) / 16.0
                if len(marks) == 2 else float("nan"))
         ok = tracking.state == OK and wmap.imu_initialized
-        ate = (align_and_ate(np.asarray(est), np.asarray(gt),
+        # ATE over the FINAL keyframe trajectory: per-frame logged
+        # positions span different map epochs (the IMU init / VIBA1
+        # rescale whole-map transforms do not retroactively update
+        # already-logged frames — the reference likewise reconstructs its
+        # trajectory from keyframe-relative poses at save time,
+        # Viewer.cpp:853-959)
+        kfs_sorted = sorted((kf for kf in wmap.all_keyframes()
+                             if not kf.is_bad()), key=lambda k: k.timestamp)
+        est_kf, gt_kf = [], []
+        for kf in kfs_sorted:
+            idx = int(round(kf.timestamp / 0.05))
+            if 0 <= idx < len(gt_poses):
+                est_kf.append(kf.camera_center())
+                Rcw, tcw = gt_poses[idx]
+                gt_kf.append(-Rcw.T @ tcw)
+        ate = (align_and_ate(np.asarray(est_kf), np.asarray(gt_kf),
                              with_scale=True).rmse
-               if len(est) > n_frames // 2 else float("nan"))
+               if len(est_kf) >= 8 else float("nan"))
         # MEAN over the steady tail: the prefetcher amortizes extraction
         # over batch boundaries, so a median would hide the batch stalls
         steady = times[10:]

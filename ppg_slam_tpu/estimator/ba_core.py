@@ -10,9 +10,13 @@ state tensors:
   * residual types: reprojection (EdgeMono/EdgeSE3ProjectXYZ), 3-point
     colinearity (EdgeColine), 9-D IMU preintegration (EdgeInertial), bias
     random walks (EdgeGyroRW/EdgeAccRW), 15-D pose-IMU prior
-    (EdgePriorPoseImu), bias priors (EdgePriorGyro/Acc). Jacobians come from
-    jacfwd on the per-residual functions (vmapped) — consistent by
-    construction with the residual definitions.
+    (EdgePriorPoseImu), bias priors (EdgePriorGyro/Acc). The reprojection
+    family (the O(obs) hot path) uses an ANALYTIC batched linearization
+    (_reproj_batch: elementwise multiply-reduce + shared-matrix matmuls;
+    per-observation vmapped jacfwd lowers to ms-scale grouped-convolution
+    fusions on TPU — asserted equal to jacfwd in tests); the small
+    families (inertial links, priors, colines) keep vmapped jacfwd,
+    consistent by construction with the residual definitions.
   * robust kernels are IRLS weights (estimator.robust).
   * landmarks are eliminated with a Schur complement over the block-diagonal
     part of Hll; the reduced (15N x 15N) system is solved with dense Cholesky

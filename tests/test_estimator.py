@@ -361,6 +361,73 @@ class TestOneProgramPerBucket:
             f"stay runtime pytree data, not program constants")
 
 
+class TestAnalyticReprojection:
+    @pytest.mark.parametrize("kind,dist", [
+        (CAM_PINHOLE, (0.0, 0.0, 0.0, 0.0)),
+        (1, (0.003, 0.0007, -0.002, 0.0002)),  # CAM_FISHEYE / KB8
+    ])
+    def test_matches_jacfwd(self, kind, dist):
+        """_reproj_batch (the analytic batched linearization used on the
+        hot path — per-obs vmapped jacfwd lowers to ms-scale convolution
+        fusions on TPU) equals jacfwd of make_reproj_residual at delta=0."""
+        from ppg_slam_tpu.estimator.ba_core import (_reproj_batch,
+                                                    make_reproj_residual)
+
+        rng = np.random.RandomState(0)
+        cam = CameraModel(kind=kind, fx=200.0, fy=210.0, cx=64.0, cy=48.0,
+                          dist=dist, width=128, height=96)
+        O = 40
+        Rg = jnp.stack([so3.exp(jnp.asarray(rng.randn(3) * 0.2,
+                                            jnp.float32))
+                        for _ in range(O)])
+        tg = jnp.asarray(rng.randn(O, 3), jnp.float32)
+        Xg = jnp.asarray(rng.randn(O, 3) * [2, 2, 1] + [0, 0, 6],
+                         jnp.float32)
+        uv = jnp.asarray(rng.rand(O, 2) * 100, jnp.float32)
+        Rcb = so3.exp(jnp.asarray([0.05, -0.02, 0.1], jnp.float32))
+        tcb = jnp.asarray([0.01, -0.02, 0.03], jnp.float32)
+        res_fn = make_reproj_residual(cam, Rcb, tcb)
+
+        def one(R, t, X, u):
+            z6 = jnp.zeros(6, jnp.float32)
+            z3 = jnp.zeros(3, jnp.float32)
+            r = res_fn(z6, z3, R, t, X, u)
+            Jk, Jx = jax.jacfwd(res_fn, argnums=(0, 1))(z6, z3, R, t, X, u)
+            return r, Jk, Jx
+
+        r0, Jk0, Jx0 = jax.vmap(one)(Rg, tg, Xg, uv)
+        r1, depth, Jk1, Jx1 = _reproj_batch(cam, Rcb, tcb, Rg, tg, Xg, uv,
+                                            want_jac=True)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r0),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(Jk1), np.asarray(Jk0),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(Jx1), np.asarray(Jx0),
+                                   rtol=1e-4, atol=1e-3)
+        assert np.all(np.asarray(depth) > 0)
+
+    def test_pose_cg_matches_cholesky(self):
+        """The diagonal-preconditioned CG pose solve (accelerator default)
+        equals the dense Cholesky through a full VI solve."""
+        from ppg_slam_tpu.parallel import make_vi_problem
+
+        cam, states, points, prob, kf_dof, mp_free = make_vi_problem(
+            n_kf=6, n_mp=128, n_obs=256, n_col=32, seed=1)
+        eye = jnp.eye(3, dtype=jnp.float32)
+        z3 = jnp.zeros(3, jnp.float32)
+        a = (states, points, prob, kf_dof, mp_free, eye, z3, cam)
+        o_ch = BAOptions(iters=5, lambda0=1e-2, tol=0.0, pose_cg_iters=0)
+        o_cg = BAOptions(iters=5, lambda0=1e-2, tol=0.0, pose_cg_iters=80)
+        s1, p1, i1 = solve_ba(*a, o_ch)
+        s2, p2, i2 = solve_ba(*a, o_cg)
+        np.testing.assert_allclose(np.asarray(s2.t), np.asarray(s1.t),
+                                   rtol=1e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                                   rtol=1e-3, atol=2e-3)
+        np.testing.assert_allclose(float(i2["final_chi2"]),
+                                   float(i1["final_chi2"]), rtol=1e-3)
+
+
 class TestAssemblyPathEquivalence:
     def test_onehot_matches_scatter_assembly(self, monkeypatch):
         """The accelerator (one-hot MXU matmul) and CPU (scatter-add)
