@@ -946,7 +946,7 @@ def _render_wireframe_euroc(n_frames=48, seed=7, speed=0.10):
     return frames, poses, imu
 
 
-def bench_e2e_live(n_frames=80, batch=8):
+def bench_e2e_live(n_frames=100, batch=8):
     """End-to-end LIVE tracking latency (median track ms/frame) on a real
     rendered sequence through the real extractor + full visual tracking, in
     the serving config — serial sync front-end vs the pipelined async

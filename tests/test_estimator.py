@@ -412,12 +412,12 @@ class TestAnalyticReprojection:
         from ppg_slam_tpu.parallel import make_vi_problem
 
         cam, states, points, prob, kf_dof, mp_free = make_vi_problem(
-            n_kf=6, n_mp=128, n_obs=256, n_col=32, seed=1)
+            n_kf=5, n_mp=48, n_obs=160, n_col=12, seed=1)
         eye = jnp.eye(3, dtype=jnp.float32)
         z3 = jnp.zeros(3, jnp.float32)
         a = (states, points, prob, kf_dof, mp_free, eye, z3, cam)
-        o_ch = BAOptions(iters=5, lambda0=1e-2, tol=0.0, pose_cg_iters=0)
-        o_cg = BAOptions(iters=5, lambda0=1e-2, tol=0.0, pose_cg_iters=80)
+        o_ch = BAOptions(iters=4, lambda0=1e-2, tol=0.0, pose_cg_iters=0)
+        o_cg = BAOptions(iters=4, lambda0=1e-2, tol=0.0, pose_cg_iters=80)
         s1, p1, i1 = solve_ba(*a, o_ch)
         s2, p2, i2 = solve_ba(*a, o_cg)
         np.testing.assert_allclose(np.asarray(s2.t), np.asarray(s1.t),
@@ -444,9 +444,12 @@ class TestAssemblyPathEquivalence:
         opts = BAOptions(iters=1, lambda0=1e-2)
 
         def run():
-            out = _compute_all(states, points, prob, cam, eye, z3, opts,
-                               kf_dof, mp_free)
-            return jax.device_get(out[:6])
+            # fresh jit per env setting (the assembly path is chosen at
+            # trace time); jitted: the eager graph costs ~40 s of tiny
+            # per-op CPU compiles, one jit compile ~5 s
+            f = jax.jit(lambda st, pts: _compute_all(
+                st, pts, prob, cam, eye, z3, opts, kf_dof, mp_free)[:6])
+            return jax.device_get(f(states, points))
 
         monkeypatch.setenv("PPG_FORCE_ONEHOT", "0")
         chi_s, Hpp_s, bp_s, Hll_s, bl_s, W_s = run()
@@ -512,15 +515,42 @@ class TestAssemblyPathEquivalence:
                 jnp.ones(n_mp, bool), jnp.eye(3, dtype=jnp.float32),
                 jnp.zeros(3, jnp.float32), CAM)
 
-    @pytest.mark.parametrize("force_onehot,n_mp", [
-        ("1", 44),                                   # the production TPU path
-        pytest.param("0", 40, marks=pytest.mark.slow),  # scatter+slot combo
-    ])
+    def test_slot_assembly_matches_flat(self, monkeypatch):
+        """slot_k>0 (slot-major W/Hll assembly incl. the overflow tail —
+        the large-bucket scaling path) builds the same normal equations as
+        the flat layout on the one-hot (production TPU) path. Jitted
+        _compute_all comparison: the full-solve variants live in the slow
+        lane (each odd-shape solve program costs a ~15 s CPU compile)."""
+        from ppg_slam_tpu.estimator.ba_core import _compute_all
+
+        monkeypatch.setenv("PPG_FORCE_ONEHOT", "1")
+        args = self._slot_problem(n_mp=40)
+        states, points, prob, kf_dof, mp_free, eye, z3, cam = args
+        opts = BAOptions(iters=1, lambda0=1e-2)
+
+        def run(slot_k):
+            f = jax.jit(lambda st, pts: _compute_all(
+                st, pts, prob, cam, eye, z3, opts, kf_dof.astype(bool),
+                mp_free.astype(bool), slot_k=slot_k)[:6])
+            return jax.device_get(f(states, points))
+
+        chi_f, Hpp_f, bp_f, Hll_f, bl_f, W_f = run(0)
+        chi_s, Hpp_s, bp_s, Hll_s, bl_s, W_s = run(4)
+        np.testing.assert_allclose(chi_s, chi_f, rtol=1e-5)
+        np.testing.assert_allclose(Hpp_s, Hpp_f, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(bp_s, bp_f, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(Hll_s, Hll_f, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(bl_s, bl_f, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(W_s, W_f, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("force_onehot,n_mp", [("1", 44), ("0", 40)])
     def test_slot_solver_matches_flat(self, monkeypatch, force_onehot, n_mp):
-        """slot_k>0 (slot-major W/Hll assembly — the large-bucket scaling
-        path) must match the flat layout through a full damped-GN run, on
-        both the scatter and one-hot assemblies. Distinct n_mp per case so
-        each traces fresh programs (the jit cache ignores the env var)."""
+        """slot_k>0 must match the flat layout through a full damped-GN
+        run, on both the scatter and one-hot assemblies (slow lane: the
+        default lane covers the normal-equation equality above and the
+        assembler roundtrip below). Distinct n_mp per case so each traces
+        fresh programs (the jit cache ignores the env var)."""
         monkeypatch.setenv("PPG_FORCE_ONEHOT", force_onehot)
         args = self._slot_problem(n_mp=n_mp)
         opts = BAOptions(iters=6, lambda0=1e-2, tol=0.0)
