@@ -1058,7 +1058,7 @@ def bench_e2e_live(n_frames=100, batch=8):
         float(tiny(z)[0])
         rts.append(time.perf_counter() - t0)
     rt_ms = float(np.median(rts)) * 1e3
-    return ((serial_ms, async_ms, full_ms), ok_s and ok_a and ok_f,
+    return ((serial_ms, async_ms, full_ms), (ok_s, ok_a, ok_f),
             (kf_s, kf_a, kf_f), (ate_s, ate_a, ate_f), rt_ms,
             (dpf_s, dpf_a, dpf_f))
 
@@ -1112,7 +1112,8 @@ def main() -> None:
         log(f"e2e live INERTIAL tracking (wireframe corridor + synthetic "
             f"IMU, imu_ini_time=2s, serving config): serial "
             f"{ser:.1f} -> async front-end {asy:.1f} -> + threaded mapping "
-            f"{full:.1f} ms/frame (tracking+IMU-init ok={ok}, kfs={kfs}, "
+            f"{full:.1f} ms/frame (tracking+IMU-init ok="
+            f"{ok[0]}/{ok[1]}/{ok[2]}, kfs={kfs}, "
             f"synthetic ATE RMSE = {ates[0]:.3f}/{ates[1]:.3f}/{ates[2]:.3f} "
             f"m; steady-state device dispatches/frame = "
             f"{dpfs[0]:.1f}/{dpfs[1]:.1f}/{dpfs[2]:.1f} "
