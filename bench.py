@@ -29,14 +29,22 @@ faster-than-dispatch-rate playback. Stages:
     answered on device against the persistent map-point descriptor bank
     (ops/device_match.py), replacing the 131 KB/frame descriptor download
     with a ~24 KB gated-pair list; batch-32 dispatch like pose opt;
-  * pose optimization: 32 independent per-frame pose-only LM problems
-    (512 obs each) in one dispatch (vmap), median over batches;
-  * local BA: solve_ba on a reference-shaped local window (16 KFs / 1024
-    points / 8k obs / 512 colines, 6 iterations) with one solve always in
-    flight, amortized over the ~8-frame keyframe interval (reference: KF
-    every >= 0.1 s, Tracking.cpp:913-941, at 20 fps input).
-Side metric (stderr): end-to-end LIVE tracking ms/frame on a rendered
-wireframe sequence, serial vs async front-end.
+  * pose optimization: 32 independent per-frame problems (512 obs each)
+    in one dispatch (vmap), median over batches — BOTH flavors measured;
+    the composite charges the steady-state 2-frame visual-inertial filter
+    + 30x30 marginalization (the per-frame optimizer once the IMU
+    initializes ~2 s into any run), not the cheaper pre-IMU visual one;
+  * local BA: solve_ba on the reference's REAL local-inertial window
+    (50 KFs / 5120 points / 40k obs, OptimizerLBA.cpp:357) with four
+    solves in flight (the 6-iter device solve is shorter than one harness
+    link round trip), amortized over the ~8-frame keyframe interval
+    (reference: KF every >= 0.1 s, Tracking.cpp:913-941, at 20 fps).
+Side metrics (stderr): TUM-VI 512^2/1024^2 + UMA 1024x768 front-end
+buckets, a BA-solver scaling table (slope-timed), per-stage XLA
+cost-analysis efficiency lines, and end-to-end LIVE inertial tracking
+ms/frame + dispatches/frame + final-KF-trajectory ATE on a rendered
+wireframe sequence with consistent synthetic IMU (serial vs async
+front-end vs the full 4-thread deployment).
 """
 
 from __future__ import annotations
