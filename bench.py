@@ -218,11 +218,14 @@ def _effline(name, jitfn, args, ms_per_item, items=1, **lower_kw):
             return
         tflops = fl / (ms_per_item * 1e9) if ms_per_item > 0 else 0.0
         gbps = by / (ms_per_item * 1e6) if ms_per_item > 0 else 0.0
+        # XLA's static cost analysis does not count flops inside
+        # while/scan bodies — iterative programs under-report
+        note = " (flops in loop bodies uncounted)" if fl < by / 16 else ""
         log(f"  [eff {name}: {fl / 1e9:.2f} GFLOP + {by / 1e6:.1f} MB "
             f"touched per item -> {tflops:.2f} TFLOP/s "
             f"({100 * tflops / V5E_PEAK_BF16_TFLOPS:.1f}% of bf16 peak), "
             f"{gbps:.0f} GB/s ({100 * gbps / (V5E_HBM_GBPS * 1e0):.1f}% of "
-            f"HBM)]")
+            f"HBM){note}]")
     except Exception as e:
         log(f"  [eff {name}: unavailable ({type(e).__name__})]")
 
