@@ -91,6 +91,41 @@ class TestAbortBA:
         assert lm.queue, "inserted KF awaits the outer drain loop"
         lm._processing = False
 
+    def test_kf_gate_allows_one_queued_mid_ba(self):
+        """need_new_keyframe with a THREADED mapper mid-keyframe: allow one
+        insertion (empty queue) so the abort poll cuts the running BA — the
+        reference's skip-while-busy policy starves the map when a
+        keyframe's fuse+LBA outlasts the 0.1 s cadence (measured: threaded
+        free-run ATE doubled with half the keyframes). Queue >= 1: skip."""
+        from ppg_slam_tpu.pipeline.tracking import OK, Tracking
+
+        wmap, kfs, _ = build_small_map()
+        lm = LocalMapping(wmap)
+        tracking = Tracking.__new__(Tracking)  # state-only: no extractor
+        tracking.map = wmap
+        tracking.local_mapper = lm
+        tracking.last_kf = kfs[-1]
+        tracking.matches_inliers = 50
+        tracking.state = OK
+
+        class _F:
+            timestamp = kfs[-1].timestamp + 0.5
+
+        tracking.current = _F()
+
+        # synchronous mapper (no thread), busy => skip (unchanged policy)
+        lm._idle = False
+        assert not tracking.need_new_keyframe()
+        # threaded worker mid-keyframe, EMPTY queue => allow
+        lm._thread = object()
+        assert tracking.need_new_keyframe()
+        # threaded worker with a queued KF => skip (queue stays <= 1)
+        lm.queue.append(kfs[-2])
+        assert not tracking.need_new_keyframe()
+        lm.queue.clear()
+        lm._thread = None
+        lm._idle = True
+
     def test_chunked_equals_oneshot(self):
         """Chunked (interruptible) GN with no abort == one-shot GN."""
         import jax.numpy as jnp
