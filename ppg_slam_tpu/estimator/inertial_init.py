@@ -90,6 +90,21 @@ def inertial_optimization(
     prior_a = jnp.asarray(prior_a, dtype)
     lam0 = jnp.where(prior_g != 0.0, 1e3, 1e-5).astype(dtype)
 
+    # Global information normalization: clean/low-noise IMU gives sqrt-info
+    # factors ~1e3-1e4, so the whitened chi2 sits at ~1e5-1e6 where f32
+    # cannot resolve the LM accept test's descent (observed: every step
+    # "rejected" and the init frozen at its seed). Scaling EVERY chi2 term
+    # by one global alpha^2 (links by alpha, priors by alpha^2) preserves
+    # the optimum exactly while bringing chi2 to O(#residuals).
+    diag_mag = jnp.abs(jnp.diagonal(prob.sqi, axis1=1, axis2=2))
+    w_valid = prob.valid.astype(dtype)[:, None]
+    mean_sqi = jnp.sum(diag_mag * w_valid) / jnp.maximum(
+        jnp.sum(w_valid) * 9.0, 1.0)
+    alpha = 1.0 / jnp.maximum(mean_sqi, 1.0)
+    prob = prob._replace(sqi=prob.sqi * alpha)
+    prior_g = prior_g * alpha * alpha
+    prior_a = prior_a * alpha * alpha
+
     def unpack(x, vels, bg, ba, Rwg, log_s):
         dvs = x[: 3 * n].reshape(n, 3)
         dbg = x[3 * n: 3 * n + 3]
