@@ -202,29 +202,56 @@ V5E_PEAK_BF16_TFLOPS = 197.0   # v5e MXU peak (bf16); f32 runs at a fraction
 V5E_HBM_GBPS = 819.0
 
 
-def _slope_interval_ms(dispatch, sync, k_lo=3, k_hi=9, reps=3):
-    """Weather-immune steady-state interval: enqueue k dispatches
-    back-to-back, sync ONCE on a tiny scalar of the last result, and take
-    the two-point slope over k — the link round trip and its jitter cancel
-    exactly. Motivated by attempt-F's relay collapse (2.7 MB/s): the
-    2-to-4-deep fetch pipelines turned into link gauges, reading 5-10x
-    device cost on unchanged code. Stage result payloads (e.g., the ~24 KB
-    /frame gated-pair list) are NOT dragged over the harness relay here —
-    any deployment host link (PCIe >= 8 GB/s) moves them in microseconds,
-    exactly the accounting already applied to the camera-feed H2D (see
-    bench_frontend)."""
+def _device_interval_ms(rep_fn, args, k_lo=2, k_hi=10, reps=3):
+    """Weather-immune device time per computation: `rep_fn(n, c0, *args)`
+    runs the stage computation n times INSIDE one jitted fori_loop (a tiny
+    carry-perturbation chains iterations so XLA cannot hoist them) and
+    returns a scalar digest; timing two repetition counts and taking the
+    slope cancels the link round trip exactly — the same scheme as the
+    solver table. This is the ONLY structure that survives relay weather
+    here: each separate execute dispatch costs a full round trip on this
+    tunnel (measured: host-side pipelines of ANY depth turned into link
+    gauges during congestion, reading 50-500x device cost on unchanged
+    code), so per-call measurement floors at RT no matter how it is
+    pipelined. Result payloads (e.g., the ~24 KB/frame gated-pair list)
+    are charged at deployment-link cost (microseconds over PCIe), the
+    accounting already applied to the camera-feed H2D."""
+    c0 = np.float32(0.0)
     def wall(k):
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = None
-            for _ in range(k):
-                out = dispatch()
-            sync(out)
+            float(np.asarray(rep_fn(k, c0, *args)))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         return best
+    wall(k_lo)  # compile/warm both paths (shared program: n is traced)
     return (wall(k_hi) - wall(k_lo)) / (k_hi - k_lo) * 1e3
+
+
+def _make_rep(fn, perturb):
+    """Build the fori_loop repetition program for _device_interval_ms:
+    carry c chains iterations via perturb(args, c) (a ~1e-30 nudge on one
+    float input — real data dependency, numerically invisible). The carry
+    digests the ENTIRE output (full reduction x 1e-30): anything less and
+    XLA dead-code-eliminates the untouched parts of the stage inside the
+    loop."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    def _digest(out):
+        tot = _jnp.float32(0.0)
+        for leaf in _jax.tree.leaves(out):
+            tot = tot + _jnp.sum(leaf.astype(_jnp.float32))
+        return tot * _jnp.float32(1e-30)
+
+    @_jax.jit
+    def rep(n, c0, *args):
+        def body(i, c):
+            return _digest(fn(*perturb(args, c)))
+        return _jax.lax.fori_loop(0, n, body, c0)
+
+    return rep
 
 
 def _effline(name, jitfn, args, ms_per_item, items=1, **lower_kw):
@@ -518,12 +545,12 @@ def bench_matching(B=32, n_batches=12, m=2048, n_queries_live=1200,
                                           np.asarray(rects, np.float32)))
     out = gated_match_batch_packed(*args)
     rows, kps, ds, n_pairs, n_over = unpack_match(np.asarray(out)[0])
-    # weather-immune steady-state interval (slope over enqueue depth);
-    # the ~24 KB/frame pair-list D2H is deployment-negligible (PCIe) and
-    # excluded like the camera feed — see _slope_interval_ms
-    ms = _slope_interval_ms(
-        lambda: gated_match_batch_packed(*args),
-        lambda o: np.asarray(o[0, 0])) / B * 1e3
+    # weather-immune in-program repetition timing (_device_interval_ms):
+    # the frame keypoints get a ~1e-30 carry nudge to chain iterations
+    rep = _make_rep(
+        gated_match_batch_packed,
+        lambda a, c: (a[0], a[1], a[2], a[3] + c * 1e-30, a[4], a[5]))
+    ms = _device_interval_ms(rep, args) / B * 1e3
     _effline("matching", gated_match_batch_packed, args, ms, items=B)
     return ms
 
@@ -559,8 +586,10 @@ def bench_pose_opt(B=32, n_obs=512, n_batches=8):
     n_in = int(np.asarray(out[3])[0])
     assert n_in > n_obs * 0.8, n_in
 
-    ms = _slope_interval_ms(lambda: step(*args),
-                            lambda o: np.asarray(o[3][0])) / B * 1e3
+    rep = _make_rep(
+        step,
+        lambda a, c: (a[0], a[1] + c * 1e-30) + a[2:])
+    ms = _device_interval_ms(rep, args) / B * 1e3
     _effline("pose_opt", step, args, ms, items=B)
     return ms
 
@@ -697,8 +726,10 @@ def bench_pose_inertial(B=32, n_obs=512, n_batches=8):
     err = float(jnp.linalg.norm(out[0].t[0] - jnp.asarray(t_curr[0])))
     assert err < 0.05, err  # converged onto the true pose
 
-    ms = _slope_interval_ms(lambda: step(*args),
-                            lambda o: np.asarray(o[2][0])) / B * 1e3
+    rep = _make_rep(
+        step,
+        lambda a, c: a[:4] + (a[4] + c * 1e-30,) + a[5:])
+    ms = _device_interval_ms(rep, args) / B * 1e3
     _effline("pose_inertial", step, args, ms, items=B)
     return ms
 
@@ -730,13 +761,42 @@ def bench_lba(n_kf=50, n_mp=5120, n_col=512, iters=6, n_runs=5,
             pass
         return h
 
-    # weather-immune steady-state solve interval (slope over enqueue
-    # depth; the mapper thread pipelines solves against tracking exactly
-    # like this in deployment — see _slope_interval_ms). A fetch-based
-    # pipeline measured the LINK whenever relay weather degraded (8.5 ->
-    # 23.7 "ms/solve" on unchanged code across two runs).
-    ms = _slope_interval_ms(dispatch,
-                            lambda h: np.asarray(h[-1]), k_lo=2, k_hi=6)
+    from dataclasses import replace as _dc_replace
+
+    # weather-immune device ms/solve: per-iteration slope (iters 2 vs 18,
+    # one dispatch each — the GN loop repeats INSIDE the program, so link
+    # round trips cancel; same scheme as the solver table) plus the
+    # out-of-loop cost (t2 minus one measured round trip). Host-side
+    # pipelines of any depth measured the LINK whenever relay weather
+    # degraded (8.5 -> 23.7 "ms/solve" on unchanged code).
+    import jax as _jax
+
+    import jax.numpy as _jnp_l
+
+    tiny = _jax.jit(lambda x: x + 1)
+    z = _jnp_l.zeros((8,), _jnp_l.float32)
+    float(np.asarray(tiny(z)[0]))
+    rts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(tiny(z)[0]))
+        rts.append(time.perf_counter() - t0)
+    rt = min(rts)
+
+    def run_s(it):
+        o = _dc_replace(opts, iters=it)
+        best = None
+        for _ in range(4):
+            t0 = time.perf_counter()
+            _, _, info2 = solve_ba(*args, o, slot_k=slot_k)
+            float(np.asarray(info2["final_chi2"]))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    t2, t18 = run_s(2), run_s(18)
+    per_iter = (t18 - t2) / 16.0
+    ms = (max(t2 - rt, 0.0) + 4.0 * per_iter) * 1e3
     _effline("lba_solve", solve_ba, args + (opts,), ms, slot_k=slot_k)
     return ms, kf_interval
 
