@@ -202,7 +202,7 @@ V5E_PEAK_BF16_TFLOPS = 197.0   # v5e MXU peak (bf16); f32 runs at a fraction
 V5E_HBM_GBPS = 819.0
 
 
-def _device_interval_ms(rep_fn, args, k_lo=2, k_hi=10, reps=3):
+def _device_interval_ms(rep_fn, args, k_lo=2, k_hi=50, reps=4):
     """Weather-immune device time per computation: `rep_fn(n, c0, *args)`
     runs the stage computation n times INSIDE one jitted fori_loop (a tiny
     carry-perturbation chains iterations so XLA cannot hoist them) and
@@ -784,7 +784,9 @@ def bench_lba(n_kf=50, n_mp=5120, n_col=512, iters=6, n_runs=5,
     rt = min(rts)
 
     def run_s(it):
-        o = _dc_replace(opts, iters=it)
+        # tol=0: the convergence early-exit would clamp the actual
+        # iteration count and corrupt the slope
+        o = _dc_replace(opts, iters=it, tol=0.0)
         best = None
         for _ in range(4):
             t0 = time.perf_counter()
@@ -794,8 +796,8 @@ def bench_lba(n_kf=50, n_mp=5120, n_col=512, iters=6, n_runs=5,
             best = dt if best is None else min(best, dt)
         return best
 
-    t2, t18 = run_s(2), run_s(18)
-    per_iter = (t18 - t2) / 16.0
+    t2, t62 = run_s(2), run_s(62)
+    per_iter = (t62 - t2) / 60.0
     ms = (max(t2 - rt, 0.0) + 4.0 * per_iter) * 1e3
     _effline("lba_solve", solve_ba, args + (opts,), ms, slot_k=slot_k)
     return ms, kf_interval
