@@ -550,7 +550,7 @@ def bench_matching(B=32, n_batches=12, m=2048, n_queries_live=1200,
     rep = _make_rep(
         gated_match_batch_packed,
         lambda a, c: (a[0], a[1], a[2], a[3] + c * 1e-30, a[4], a[5]))
-    ms = _device_interval_ms(rep, args) / B * 1e3
+    ms = _device_interval_ms(rep, args) / B  # helper returns ms
     _effline("matching", gated_match_batch_packed, args, ms, items=B)
     return ms
 
@@ -589,7 +589,7 @@ def bench_pose_opt(B=32, n_obs=512, n_batches=8):
     rep = _make_rep(
         step,
         lambda a, c: (a[0], a[1] + c * 1e-30) + a[2:])
-    ms = _device_interval_ms(rep, args) / B * 1e3
+    ms = _device_interval_ms(rep, args) / B  # helper returns ms
     _effline("pose_opt", step, args, ms, items=B)
     return ms
 
@@ -729,7 +729,7 @@ def bench_pose_inertial(B=32, n_obs=512, n_batches=8):
     rep = _make_rep(
         step,
         lambda a, c: a[:4] + (a[4] + c * 1e-30,) + a[5:])
-    ms = _device_interval_ms(rep, args) / B * 1e3
+    ms = _device_interval_ms(rep, args) / B  # helper returns ms
     _effline("pose_inertial", step, args, ms, items=B)
     return ms
 
