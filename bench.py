@@ -734,7 +734,7 @@ def bench_pose_inertial(B=32, n_obs=512, n_batches=8):
     return ms
 
 
-def bench_lba(n_kf=50, n_mp=5120, n_col=512, iters=6, n_runs=5,
+def bench_lba(n_kf=50, n_mp=5120, n_col=512, iters=6,
               kf_interval=8):
     """The reference's REAL local-inertial window shape: <=50 temporal KFs
     (OptimizerLBA.cpp:357) with ~5k live points / 40k observations — not
@@ -746,20 +746,6 @@ def bench_lba(n_kf=50, n_mp=5120, n_col=512, iters=6, n_runs=5,
     st, pts, info = solve_ba(*args, opts, slot_k=slot_k)
     chi2 = np.asarray(info["chi2_hist"])
     assert chi2[-1] < chi2[0], chi2
-
-    # steady-state throughput: keep solves in flight AND enqueue the D2H of
-    # each result at dispatch time (copy_to_host_async) so it drains before
-    # the next solve's compute — the tunnel serializes a late fetch behind
-    # all queued device work (profiled: per-solve device cost ~10-17 ms,
-    # every synchronous fetch costs a ~25 ms round trip)
-    def dispatch():
-        _, _, info = solve_ba(*args, opts, slot_k=slot_k)
-        h = info["chi2_hist"]
-        try:
-            h.copy_to_host_async()
-        except Exception:
-            pass
-        return h
 
     from dataclasses import replace as _dc_replace
 
