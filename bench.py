@@ -914,7 +914,15 @@ def _render_wireframe_euroc(n_frames=48, seed=7, speed=0.10):
     fps, imu_hz = 20.0, 200.0
     dt = 1.0 / imu_hz
     steps = int(round(imu_hz / fps))
-    g = np.float32([0.0, 0.0, -9.81])
+    # Gravity along +y_world = IMAGE-DOWN (the camera starts at identity,
+    # so world axes == camera axes): a handheld/MAV rig views roughly
+    # horizontally with gravity along the image vertical — EuRoC/TUM-VI
+    # attitude. The previous render put gravity along the OPTICAL axis,
+    # which couples the 0.5*g*dt^2 init terms to the frontal-wall scene's
+    # noisiest direction (depth) and measurably inverted the scale-
+    # refinement estimates (r4 root-cause: CPU synthetic annealed 0.26 ->
+    # 0.95 while the corridor collapsed 0.29 -> 0.05 on identical code).
+    g = np.float32([0.0, 9.81, 0.0])
     # Monocular-inertial init needs real excitation: accel amplitudes
     # ~1.2/0.7 m/s^2 AND rotation about ALL THREE axes — with yaw-only
     # rotation the scale/gravity/accel-bias directions are near-degenerate
@@ -926,13 +934,25 @@ def _render_wireframe_euroc(n_frames=48, seed=7, speed=0.10):
     # look like a constant accel offset there — absorbed by the free
     # gravity direction + velocities — and the scale collapses (measured:
     # init converged to s~0.1 with 3-4 s periods).
-    bx, wx = 0.075, 4.0  # x wobble: accel amplitude bx*wx^2 = 1.2, T=1.6 s
-    by, wy = 0.10, 3.0   # y bob: 0.9 m/s^2, T=2.1 s
+    # Excitation must clear the scale-estimation SNR floor: the per-link
+    # scale signal is the within-KF-interval velocity/position CURVATURE
+    # (second differences, ~a*dt^2), competing against per-KF visual pose
+    # noise — r4 root-cause runs showed the old 1.2/0.9 m/s^2 wobble
+    # collapsing the scale chain on BOTH the real-extractor corridor and
+    # a CPU synthetic with the same trajectory (attenuation pulls the
+    # estimate toward ZERO when noise rivals signal, so every refinement
+    # shrank the map). EuRoC-MH-class excitation (peak 3.5 m/s^2, the MH
+    # sequences burst 4-6) lifts the per-link signal ~3x above the noise;
+    # periods stay inside the ~2 s init window.
+    bx, wx = 0.22, 4.0    # x wobble: accel bx*wx^2 = 3.5 m/s^2, T=1.6 s
+    by, wy = 0.30, 3.4    # y (gravity axis) bob: 3.5 m/s^2, T=1.8 s
+    bz, wz = 0.15, 2.6    # depth wobble: 1.0 m/s^2, T=2.4 s
     accel_w = lambda tm: np.float32([-bx * wx * wx * np.sin(wx * tm),
-                                     -by * wy * wy * np.sin(wy * tm), 0.0])
-    gyro_b = lambda tm: np.float32([0.12 * np.sin(2.2 * tm),
-                                    0.12 * np.cos(4.0 * tm),
-                                    0.12 * np.sin(1.8 * tm)])
+                                     -by * wy * wy * np.sin(wy * tm),
+                                     -bz * wz * wz * np.sin(wz * tm)])
+    gyro_b = lambda tm: np.float32([0.22 * np.sin(2.2 * tm),
+                                    0.20 * np.cos(4.0 * tm),
+                                    0.22 * np.sin(1.8 * tm)])
     from ppg_slam_tpu.geometry import so3 as _so3
     import jax.numpy as _jnp
 
@@ -954,7 +974,7 @@ def _render_wireframe_euroc(n_frames=48, seed=7, speed=0.10):
     imu_rng = np.random.RandomState(seed + 7)
     Rwb = np.eye(3, dtype=np.float32)
     twb = np.zeros(3, np.float32)
-    vel = np.float32([speed * fps + bx * wx, by * wy, 0.0])
+    vel = np.float32([speed * fps + bx * wx, by * wy, bz * wz])
     body_poses = [(Rwb.copy(), twb.copy())]
     imu_rows = []
     kk = 0

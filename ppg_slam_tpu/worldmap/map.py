@@ -29,10 +29,16 @@ class Map:
         # held by background GBA's host gather/propagate phases; the
         # synchronous pipeline never contends on it
         self.update_lock = threading.RLock()
-        self.keyframes: Set[KeyFrame] = set()
-        self.map_points: Set[MapPoint] = set()
-        self.map_edges: Set[MapEdge] = set()
-        self.map_colines: Set[MapColine] = set()
+        # element stores are insertion-ordered dicts, NOT sets: set
+        # iteration order is id()-hash order, which varies per process
+        # (ASLR) — it leaked into GBA/FIBA residual assembly order and
+        # candidate orderings, making two identical runs diverge through
+        # float-accumulation order and greedy tie-breaks. Dicts give the
+        # same O(1) add/discard with deterministic (insertion) iteration.
+        self.keyframes: Dict[KeyFrame, None] = {}
+        self.map_points: Dict[MapPoint, None] = {}
+        self.map_edges: Dict[MapEdge, None] = {}
+        self.map_colines: Dict[MapColine, None] = {}
         self.recent_map_points: List[MapPoint] = []
         self.inverted_file: Dict[int, List[KeyFrame]] = {}
         self.kf_origin: Optional[KeyFrame] = None
@@ -63,11 +69,15 @@ class Map:
         self.__dict__.update(state)
         self.update_lock = threading.RLock()
         self.__dict__.setdefault("transform_epoch", 0)  # pre-epoch pickles
+        for name in ("keyframes", "map_points", "map_edges", "map_colines"):
+            if isinstance(self.__dict__.get(name), set):  # pre-dict pickles
+                self.__dict__[name] = dict.fromkeys(
+                    sorted(self.__dict__[name], key=lambda e: e.mnId))
 
     # -- element CRUD (Map.cpp:34-180) ---------------------------------------
     def add_keyframe(self, kf: KeyFrame) -> None:
         """Insert KF + index its BoW vector into the inverted file."""
-        self.keyframes.add(kf)
+        self.keyframes[kf] = None
         self.max_kf_id = max(self.max_kf_id, kf.mnId)
         if self.kf_origin is None:
             self.kf_origin = kf
@@ -76,7 +86,7 @@ class Map:
                 self.inverted_file.setdefault(word, []).append(kf)
 
     def erase_keyframe(self, kf: KeyFrame) -> None:
-        self.keyframes.discard(kf)
+        self.keyframes.pop(kf, None)
         if kf.bow_vec:
             for word in kf.bow_vec:
                 lst = self.inverted_file.get(word)
@@ -84,16 +94,16 @@ class Map:
                     lst.remove(kf)
 
     def add_map_point(self, mp: MapPoint) -> None:
-        self.map_points.add(mp)
+        self.map_points[mp] = None
 
     def erase_map_point(self, mp: MapPoint) -> None:
-        self.map_points.discard(mp)
+        self.map_points.pop(mp, None)
 
     def add_map_edge(self, me: MapEdge) -> None:
-        self.map_edges.add(me)
+        self.map_edges[me] = None
 
     def add_map_coline(self, mc: MapColine) -> None:
-        self.map_colines.add(mc)
+        self.map_colines[mc] = None
 
     def all_keyframes(self) -> List[KeyFrame]:
         return [kf for kf in self.keyframes if not kf.is_bad()]
