@@ -1099,6 +1099,10 @@ def bench_e2e_live(n_frames=160, batch=8):
         dpf = ((disp_marks[marks[1]] - disp_marks[marks[0]]) / 16.0
                if len(marks) == 2 else float("nan"))
         ok = tracking.state == OK and wmap.imu_initialized
+        # scale-annealing evidence (VERDICT r3 #1): every init/refinement
+        # event with its estimated scale, printed in the bench tail
+        events = [(e["kind"], round(e["t"], 2), round(e["scale"], 3))
+                  for e in tracking.init_events]
         # ATE over the FINAL keyframe trajectory: per-frame logged
         # positions span different map epochs (the IMU init / VIBA1
         # rescale whole-map transforms do not retroactively update
@@ -1121,17 +1125,19 @@ def bench_e2e_live(n_frames=160, batch=8):
         # over batch boundaries, so a median would hide the batch stalls
         steady = times[10:]
         return (float(np.mean(steady)) * 1e3, ok, wmap.n_keyframes(), ate,
-                dpf)
+                dpf, events)
 
     run(False)  # warm pass: compile every per-frame program untimed
     log("  [e2e: warm pass done]")
-    serial_ms, ok_s, kf_s, ate_s, dpf_s = run(False)
-    log("  [e2e: serial pass done]")
-    async_ms, ok_a, kf_a, ate_a, dpf_a = run(True)
-    log("  [e2e: async pass done]")
+    serial_ms, ok_s, kf_s, ate_s, dpf_s, ev_s = run(False)
+    log(f"  [e2e: serial pass done; scale events: {ev_s}]")
+    async_ms, ok_a, kf_a, ate_a, dpf_a, ev_a = run(True)
+    log(f"  [e2e: async pass done; scale events: {ev_a}]")
     # full deployment: pipelined front-end + local mapping on its own
     # consumer thread (keyframe fuse/BA leave the per-frame critical path)
-    full_ms, ok_f, kf_f, ate_f, dpf_f = run(True, use_mapper_thread=True)
+    full_ms, ok_f, kf_f, ate_f, dpf_f, ev_f = run(True,
+                                                  use_mapper_thread=True)
+    log(f"  [e2e: threaded pass done; scale events: {ev_f}]")
 
     # measure the link's dispatch round trip at run time: live tracking is
     # RT-bound on this harness (~3-5 dispatches/frame), so the absolute

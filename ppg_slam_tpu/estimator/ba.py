@@ -249,9 +249,12 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
             if chi2 < prev_chi2 and chi2 > (1.0 - opts.tol) * prev_chi2:
                 break  # converged: accepted progress with small gain
             # a chunk with NO accepted step is lambda search, not
-            # convergence — allow 3 such chunks before giving up
+            # convergence — allow 8 such chunks (16 rejected iterations,
+            # matching the solver's own rejection cap: a soft-mode
+            # overshoot legitimately needs lambda to climb several decades
+            # before the damped step lands) before giving up
             stalled_chunks = stalled_chunks + 1 if chi2 >= prev_chi2 else 0
-            if stalled_chunks >= 3:
+            if stalled_chunks >= 8:
                 break
             prev_chi2 = min(chi2, prev_chi2)
             if done < opts.iters and abort_check():
@@ -805,6 +808,124 @@ def global_bundle_adjustment(wmap: Map, iters: int = 20, loop_kf: int = 0,
         wmap.info_map_change()
 
 
+@functools.partial(jax.jit, static_argnames=("slot_k",))
+def _conformal_scan(states, points, prob, Rcb, tcb, cam, opts, sigmas,
+                    slot_k: int = 0):
+    """chi2 along the exact conformal (global-scale) curve: scale t, v and
+    landmarks about the origin keyframe's position by each sigma. One
+    vmapped device program evaluates the whole grid."""
+    from .ba_core import _chi2_only
+
+    c = states.t[0]
+
+    def chi_at(s):
+        st = states._replace(t=c + (states.t - c) * s, v=states.v * s)
+        pts = c + (points - c) * s
+        return _chi2_only(st, pts, prob, cam, Rcb, tcb, opts, slot_k=slot_k)
+
+    return jax.vmap(chi_at)(sigmas)
+
+
+def _conformal_best_scale(st, pts, prob, rig, opts, slot_k) -> float:
+    """Global-scale line search against the FULL objective (r4): the Schur
+    fold's coline diagonal makes the reduced system look ~1e4x stiffer
+    along the vision-invariant conformal mode than it is, so the GN
+    iteration cannot anneal a wrong monocular metric scale (measured:
+    -0.2% scale recovery in 100 exact-solve iterations on a 2.5x
+    mis-scaled inertial map whose chi2(scale) sweep showed a clean 25%
+    descent at the true scale). The mode is ONE-dimensional and chi2
+    along it is smooth, so three bracketed grid passes (one vmapped
+    device dispatch each) recover the optimum directly; reprojection is
+    exactly invariant, the inertial terms pin the metric. The reference
+    needs no equivalent: g2o solves the joint un-marginalized sparse
+    system (setMarginalized(false), OptimizerGBA.cpp:92), which has no
+    fold to poison. Returns the optimal sigma (1.0 = no improvement)."""
+    cam = rig.cam
+    Rcb = jnp.asarray(rig.Rcb)
+    tcb = jnp.asarray(rig.tcb)
+
+    def scan(sigmas):
+        return np.asarray(_conformal_scan(
+            st, pts, prob, Rcb, tcb, cam, opts,
+            jnp.asarray(sigmas, jnp.float32), slot_k=slot_k))
+
+    sig1 = np.exp(np.linspace(np.log(0.25), np.log(4.0), 13))
+    chis = scan(sig1)
+    k = int(np.argmin(chis))
+    lo, hi = sig1[max(k - 1, 0)], sig1[min(k + 1, len(sig1) - 1)]
+    sig2 = np.exp(np.linspace(np.log(lo), np.log(hi), 11))
+    chis2 = scan(sig2)
+    k2 = int(np.argmin(chis2))
+    lo2 = sig2[max(k2 - 1, 0)]
+    hi2 = sig2[min(k2 + 1, len(sig2) - 1)]
+    sig3 = np.concatenate([[1.0], np.exp(np.linspace(
+        np.log(lo2), np.log(hi2), 11))])
+    chis3 = scan(sig3)
+    base = float(chis3[0])
+    k3 = int(np.argmin(chis3))
+    s = float(sig3[k3])
+    if float(chis3[k3]) >= base * (1.0 - 1e-4) or abs(s - 1.0) < 1e-3:
+        return 1.0
+    return s
+
+
+def _apply_conformal(st, pts, s):
+    """Scale states/landmarks about the origin KF's position."""
+    c = np.asarray(st.t)[0]
+    st = st._replace(t=jnp.asarray(c + (np.asarray(st.t) - c) * s),
+                     v=jnp.asarray(np.asarray(st.v) * s))
+    return st, jnp.asarray(c + (np.asarray(pts) - c) * s)
+
+
+def conformal_scale_refine(wmap: Map) -> float:
+    """Full-objective global-scale correction for a live inertial map: the
+    closed-form ScaleRefinement estimator (velocities held fixed,
+    OptimizerInertial.cpp:29-152) is attenuation-biased when per-link
+    curvature signal is near the visual noise floor and measurably dragged
+    live corridor runs toward scale collapse (r4). This gathers the full
+    visual-inertial residual set (the FIBA problem, no GN solve) and
+    line-searches the one-dimensional conformal mode against the TOTAL
+    chi2 — a strictly better estimator of the same quantity, 3 vmapped
+    device dispatches. Applies the correction via ApplyScaledRotation and
+    returns it (1.0 = map already scale-stationary)."""
+    rig = wmap.rig
+    kfs = sorted(wmap.all_keyframes(), key=lambda k: k.mnId)
+    mps = wmap.all_map_points()
+    if len(kfs) < 3 or not mps:
+        return 1.0
+    kf_index = {k.mnId: i for i, k in enumerate(kfs)}
+    mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
+    states = _body_states(kfs, rig)
+    points = np.stack([mp.pos for mp in mps]).astype(np.float32)
+    r_kf, r_mp, r_uv, _ = _gather_reproj(kfs, kf_index, mps, mp_index)
+    c_idx, c_w, _ = _gather_colines(wmap, mp_index)
+    links = _gather_links(kfs, kf_index)
+    prob, slot_k, _ = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w,
+                                   links=links, n_mp=len(mps))
+    # pad states/points to the solver buckets (prob indices assume them)
+    n, m = len(kfs), len(mps)
+    N, M = _bucket_nm(n, m)
+    if N != n:
+        eye = np.broadcast_to(np.eye(3, dtype=np.float32), (N - n, 3, 3))
+        z = np.zeros((N - n, 3), np.float32)
+        states = KFStates(
+            np.concatenate([states.R, eye]), np.concatenate([states.t, z]),
+            np.concatenate([states.v, z]), np.concatenate([states.bg, z]),
+            np.concatenate([states.ba, z]))
+    if M != m:
+        points = np.concatenate(
+            [points, np.tile(np.float32([0.0, 0.0, 1.0]), (M - m, 1))])
+    opts = BAOptions(reproj_kernel="huber")
+    st = KFStates(*[jnp.asarray(x) for x in states])
+    s = _conformal_best_scale(st, jnp.asarray(points), prob, rig, opts,
+                              slot_k)
+    if s != 1.0:
+        wmap.apply_scaled_rotation(np.eye(3, dtype=np.float32), s,
+                                   scale_vel=True)
+        wmap.info_map_change()
+    return s
+
+
 def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
                      b_init: bool = False, prior_g: float = 1e2,
                      prior_a: float = 1e6, abort_check=None,
@@ -859,6 +980,20 @@ def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
                                   np.ones(len(mps), bool), rig, opts,
                                   abort_check=abort_check, mesh=mesh,
                                   slot_k=slot_k)
+    # conformal-scale annealing: line-search the global-scale mode the
+    # damped-GN fold cannot move, then let the solver re-polish — repeat
+    # until the scale is stationary (see _conformal_refine)
+    for _ in range(3):
+        s = _conformal_best_scale(st, pts, prob, rig, opts, slot_k)
+        if s == 1.0:
+            break
+        st, pts = _apply_conformal(st, pts, s)
+        st_n = KFStates(*[np.asarray(x)[:len(kfs)] for x in st])
+        pts_n = np.asarray(pts)[:len(mps)]
+        st, pts, info = _padded_solve(st_n, pts_n, prob, kf_dof,
+                                      np.ones(len(mps), bool), rig, opts,
+                                      abort_check=abort_check, mesh=mesh,
+                                      slot_k=slot_k)
 
     st, pts = jax.device_get((st, pts))  # one pipelined fetch
     pts_np = np.asarray(pts)

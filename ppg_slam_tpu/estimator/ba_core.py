@@ -648,9 +648,20 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
           J2 * _sel(Ec[1], mp_mask[:, None], prob.c_idx[:, 1])[:, None, :],
           J3 * _sel(Ec[2], mp_mask[:, None], prob.c_idx[:, 2])[:, None, :]]
     swc = wc[:, None, None]
+    # Coline contributions go into a SEPARATE landmark block, NOT Hll: the
+    # pose-system Schur fold W^T Hll^-1 W is exact only for the
+    # reprojection-only coupling (colines have no pose Jacobian). Folding
+    # with a coline-inflated Hll under-corrects the visual cancellation and
+    # leaves a fraction of the enormous camera-only stiffness as SPURIOUS
+    # curvature along vision-invariant modes — measured 9.5e6 vs a true 450
+    # along the global-scale mode of a mis-scaled inertial map, freezing
+    # FIBA's metric-scale recovery entirely (r4 root cause). The solver
+    # folds with the visual-only block and applies Hll_col in the landmark
+    # back-substitution + preconditioner, where it belongs.
+    Hll_col = jnp.zeros((m, 3, 3), dtype)
     for a in range(3):
-        Hll = _accum_into(Hll, Ec[a], prob.c_idx[:, a],
-                          swc * jnp.einsum("odi,odj->oij", Js[a], Js[a]))
+        Hll_col = _accum_into(Hll_col, Ec[a], prob.c_idx[:, a],
+                              swc * jnp.einsum("odi,odj->oij", Js[a], Js[a]))
         b_l = _accum_into(b_l, Ec[a], prob.c_idx[:, a],
                           wc[:, None] * jnp.einsum("odi,od->oi", Js[a], rc))
     # cross-blocks are handled in the Jacobi refinement (kept out of Schur)
@@ -761,9 +772,9 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     Hpp = Hpp.reshape(n15, n15)
     b_p = b_p.reshape(n15)
     if axis is not None:
-        chi2_sum, Hpp, b_p, Hll, b_l, W = jax.lax.psum(
-            (chi2_sum, Hpp, b_p, Hll, b_l, W), axis)
-    return chi2_sum, Hpp, b_p, Hll, b_l, W, coline_terms
+        chi2_sum, Hpp, b_p, Hll, Hll_col, b_l, W = jax.lax.psum(
+            (chi2_sum, Hpp, b_p, Hll, Hll_col, b_l, W), axis)
+    return chi2_sum, Hpp, b_p, Hll, Hll_col, b_l, W, coline_terms
 
 
 def _chi2_only(states, points, prob, cam, Rcb, tcb, opts, axis=None,
@@ -871,20 +882,48 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
 
     def solve_iter(carry, _):
         states_c, points_c, lam, last_chi2 = carry
-        chi2, Hpp, b_p, Hll, b_l, W, coline_terms = _compute_all(
+        chi2, Hpp, b_p, Hll, Hll_col, b_l, W, coline_terms = _compute_all(
             states_c, points_c, prob, cam, Rcb, tcb, opts, kf_dof, mp_free,
             axis=axis, slot_k=slot_k)
 
-        # landmark block inverses (regularized for padded/fixed landmarks)
+        # Landmark-block solve operator: fixed-k damped-Jacobi polynomial
+        # approximation of (Hll_r + C_full)^-1 — the coline-COUPLED
+        # landmark block including cross-blocks — applied IDENTICALLY in
+        # the Schur fold and the back-substitution. Derivation from the r4
+        # root-cause hunt, every simpler split measured broken:
+        #   * diagonal-only coline curvature in the fold under-corrects
+        #     the visual cancellation and injects spurious stiffness along
+        #     vision-invariant modes (9.5e6 vs a true 450 along the
+        #     global-scale mode — froze FIBA's metric-scale recovery);
+        #   * no coline curvature at all lets the coline gradient push
+        #     points along the weak visual-depth direction unchecked
+        #     (~50x overshoot on the coline unit fixture);
+        #   * mixed models (fold one way, back-substitute another) are not
+        #     even descent directions (10 straight rejections at
+        #     alpha=1/16).
+        # Landmark block: the coline-aware diagonal (visual + damping +
+        # coline diagonal) for the Schur fold, with the coline CROSS blocks
+        # handled by the back-substitution PCG — the structure with the
+        # best measured general convergence (it solves the noisy VI bucket
+        # 371 -> 37 chi2 in one step where every "consistent-model"
+        # variant tried in r4 rejected its first steps; see the r4 notes in
+        # full_inertial_ba for the one mode this fold gets WRONG and how
+        # the conformal line search compensates).
         eye3 = jnp.eye(3, dtype=dtype)
-        Hll_r = Hll + (lam + 1e-8) * eye3[None]
+        Hll_r = Hll + Hll_col + (lam + 1e-8) * eye3[None]
         Hll_inv = _inv3x3(Hll_r)
 
         # Schur: S = Hpp - W^T Hll^-1 W; rhs = b_p - W^T Hll^-1 b_l.
         # W spans only the 6 pose columns per KF (reprojection is the only
         # landmark-coupled family) — compute the visual correction in the
         # compact (N6) layout and pad it into the 15-DOF blocks at static
-        # offsets.
+        # offsets. NOTE: because Hll here carries the coline DIAGONAL
+        # without its cross blocks, this fold under-corrects the visual
+        # cancellation along vision-invariant (conformal) modes and makes
+        # the reduced system look ~1e4x stiffer there than it is
+        # (measured); whole-map inertial solves that must anneal the
+        # monocular scale run a conformal line search around this solver
+        # (estimator.ba.full_inertial_ba) to compensate.
         HinvW = jnp.einsum("mij,mjp->mip", Hll_inv, W)       # (M, 3, N6)
         S6 = jnp.einsum("mip,miq->pq", W, HinvW).reshape(n, 6, n, 6)
         S = Hpp - jnp.pad(
@@ -1001,12 +1040,58 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
         if opts.adapt:
             new_chi2 = _chi2_only(new_states, new_points, prob, cam, Rcb, tcb,
                                   opts, axis=axis, slot_k=slot_k)
-            accept = new_chi2 < chi2
+
+            # Backtracking fallback when the full step is rejected: along a
+            # soft mode (e.g. the monocular global-scale mode an inertial
+            # residual set must anneal) the GN DIRECTION is right but the
+            # magnitude overshoots the linearization; growing lambda
+            # reshapes the step away from the very mode that must move, so
+            # LM crawls (measured: 15% scale recovery in 100 iterations).
+            # Trying the same direction at alpha = 1/4 and 1/16 converges
+            # the quadratic-mode geometry in a handful of iterations. The
+            # cond keeps the extra chi2 evaluations off the accepted-step
+            # path entirely.
+            def _try_alpha(alpha):
+                st_a = states_c.retract(alpha * dx_p.reshape(n, DOF))
+                pts_a = points_c + alpha * dx_l
+                c_a = _chi2_only(st_a, pts_a, prob, cam, Rcb, tcb, opts,
+                                 axis=axis, slot_k=slot_k)
+                return st_a, pts_a, c_a
+
+            def _backtrack(_):
+                st2, pts2, c2 = _try_alpha(jnp.asarray(0.25, dtype))
+                st3, pts3, c3 = _try_alpha(jnp.asarray(0.0625, dtype))
+                pick2 = c2 <= c3
+                st_b = jax.tree.map(
+                    lambda a, b: jnp.where(pick2, a, b), st2, st3)
+                return st_b, jnp.where(pick2, pts2, pts3), \
+                    jnp.minimum(c2, c3)
+
+            def _full(_):
+                return new_states, new_points, new_chi2
+
+            cand_states, cand_points, cand_chi2 = jax.lax.cond(
+                new_chi2 < chi2, _full, _backtrack, None)
+            accept = cand_chi2 < chi2
+            import os as _os
+            if _os.environ.get("PPG_BA_DEBUG"):
+                _, _, c_tiny = _try_alpha(jnp.asarray(1.0 / 1024, dtype))
+                jax.debug.print(
+                    "iter chi2={c} new={nc} cand={cc} tiny={t} lam={l} "
+                    "|dxp|={dp} |dxl|={dl}",
+                    c=chi2, nc=new_chi2, cc=cand_chi2, t=c_tiny, l=lam,
+                    dp=jnp.linalg.norm(dx_p), dl=jnp.linalg.norm(dx_l))
+            full_ok = new_chi2 < chi2
             states_n = jax.tree.map(
-                lambda a, b: jnp.where(accept, a, b), new_states, states_c)
-            points_n = jnp.where(accept, new_points, points_c)
-            lam_n = jnp.where(accept, lam * 0.5, lam * 4.0)
-            return (states_n, points_n, lam_n, jnp.where(accept, new_chi2,
+                lambda a, b: jnp.where(accept, a, b), cand_states, states_c)
+            points_n = jnp.where(accept, cand_points, points_c)
+            # lambda policy: full-step accept halves (standard LM);
+            # backtracked accept keeps lambda (the full step at this lambda
+            # still overshoots — halving would re-reject next iteration);
+            # total reject grows it.
+            lam_n = jnp.where(full_ok, lam * 0.5,
+                              jnp.where(accept, lam, lam * 4.0))
+            return (states_n, points_n, lam_n, jnp.where(accept, cand_chi2,
                                                          chi2)), chi2
         return (new_states, new_points, lam, chi2), chi2
 
@@ -1016,12 +1101,17 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
     # fork one program per iteration count) with g2o-style small-gain
     # termination: stop once an ACCEPTED step improves chi2 by < tol
     # (relative) twice in a row. Rejected LM steps are part of the lambda
-    # search, not convergence — they don't count as stalls, but 6
-    # consecutive rejections (lambda grew 4^6x without one accept) also
-    # stop. tol == 0 disables both exits (always runs `iters`, matching the
-    # old scan path).
+    # search, not convergence — they don't count as stalls, but 16
+    # consecutive rejections (lambda grew 4^16x without one accept) also
+    # stop. The cap was 6, which aborted solves whose FIRST exact-GN step
+    # overshoots a soft mode (measured: FIBA on a mis-scaled map needs
+    # lambda to climb ~6 decades from its post-accept floor before the
+    # damped step lands, i.e. ~10 consecutive rejections — the old cap
+    # froze the solve at iteration 7 with chi2 untouched; g2o's Levenberg
+    # likewise retries up to 10 lambdas per iteration). tol == 0 disables
+    # both exits (always runs `iters`, matching the old scan path).
     hist0 = jnp.zeros(MAX_HIST, dtype)
-    rej_cap = jnp.where(opts.tol > 0, 6, opts.iters + 1)
+    rej_cap = jnp.where(opts.tol > 0, 16, opts.iters + 1)
 
     def w_cond(c):
         it, _, _, _, _, stall, rej, _ = c

@@ -1371,6 +1371,23 @@ class Tracking:
             Rwg_f = np.asarray(Rwg_f, np.float32)
             self.map.apply_scaled_rotation(Rwg_f.T, scale, scale_vel=True)
             self._update_frame_imu(scale)
+        # full-objective conformal correction (r4): the closed-form
+        # velocities-fixed estimator above is attenuation-biased when the
+        # per-link curvature signal sits near the visual noise floor
+        # (measured dragging live corridor runs toward scale collapse);
+        # re-optimize the one-dimensional scale mode against the TOTAL
+        # visual-inertial chi2 and apply the difference.
+        from ..estimator.ba import conformal_scale_refine
+
+        s_conf = conformal_scale_refine(self.map)
+        if abs(s_conf - 1.0) > 1e-3:
+            self._update_frame_imu(s_conf)
+        ev2 = dict(t=float(self.last_kf.timestamp), kind="conformal",
+                   scale=s_conf, n_kfs=len(kfs),
+                   applied=abs(s_conf - 1.0) > 1e-3)
+        self.init_events.append(ev2)
+        if self.on_map_event is not None:
+            self.on_map_event(ev2)
         self.map.info_map_change()
 
     # ------------------------------------------------------------------

@@ -448,19 +448,20 @@ class TestAssemblyPathEquivalence:
             # trace time); jitted: the eager graph costs ~40 s of tiny
             # per-op CPU compiles, one jit compile ~5 s
             f = jax.jit(lambda st, pts: _compute_all(
-                st, pts, prob, cam, eye, z3, opts, kf_dof, mp_free)[:6])
+                st, pts, prob, cam, eye, z3, opts, kf_dof, mp_free)[:7])
             return jax.device_get(f(states, points))
 
         monkeypatch.setenv("PPG_FORCE_ONEHOT", "0")
-        chi_s, Hpp_s, bp_s, Hll_s, bl_s, W_s = run()
+        chi_s, Hpp_s, bp_s, Hll_s, Hlc_s, bl_s, W_s = run()
         monkeypatch.setenv("PPG_FORCE_ONEHOT", "1")
-        chi_o, Hpp_o, bp_o, Hll_o, bl_o, W_o = run()
+        chi_o, Hpp_o, bp_o, Hll_o, Hlc_o, bl_o, W_o = run()
 
         assert W_s.shape == (48, 3, 5 * 6)
         np.testing.assert_allclose(chi_o, chi_s, rtol=1e-5)
         np.testing.assert_allclose(Hpp_o, Hpp_s, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(bp_o, bp_s, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(Hll_o, Hll_s, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(Hlc_o, Hlc_s, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(bl_o, bl_s, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(W_o, W_s, rtol=1e-4, atol=1e-4)
 
@@ -531,15 +532,16 @@ class TestAssemblyPathEquivalence:
         def run(slot_k):
             f = jax.jit(lambda st, pts: _compute_all(
                 st, pts, prob, cam, eye, z3, opts, kf_dof.astype(bool),
-                mp_free.astype(bool), slot_k=slot_k)[:6])
+                mp_free.astype(bool), slot_k=slot_k)[:7])
             return jax.device_get(f(states, points))
 
-        chi_f, Hpp_f, bp_f, Hll_f, bl_f, W_f = run(0)
-        chi_s, Hpp_s, bp_s, Hll_s, bl_s, W_s = run(4)
+        chi_f, Hpp_f, bp_f, Hll_f, Hlc_f, bl_f, W_f = run(0)
+        chi_s, Hpp_s, bp_s, Hll_s, Hlc_s, bl_s, W_s = run(4)
         np.testing.assert_allclose(chi_s, chi_f, rtol=1e-5)
         np.testing.assert_allclose(Hpp_s, Hpp_f, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(bp_s, bp_f, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(Hll_s, Hll_f, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(Hlc_s, Hlc_f, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(bl_s, bl_f, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(W_s, W_f, rtol=1e-4, atol=1e-4)
 

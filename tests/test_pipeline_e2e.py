@@ -119,6 +119,54 @@ class TestPipelineE2E:
         assert len(wmap.map_edges) > 20, "MapEdges must be created"
         assert len(wmap.map_colines) > 5, "MapColines must be created"
 
+    def test_fiba_recovers_misscaled_map(self, run_sequence):
+        """full_inertial_ba must anneal a global metric-scale error — the
+        r4 root-cause regression. Three compounding solver defects froze
+        the monocular scale mode entirely (measured -0.2% recovery in 100
+        EXACT-solve iterations on a 2.5x mis-scaled map): (1) coline
+        diagonal blocks inside the Schur-folded landmark block destroyed
+        the visual cancellation along vision-invariant modes (spurious
+        curvature 9.5e6 vs a true 450), (2) the 6-consecutive-rejection
+        cap aborted the lambda climb the now-unfrozen overshooting step
+        needs, (3) pure-lambda LM crawls along soft modes (15%/100 it).
+        Guards the Hll/Hll_col fold split, the rejection cap, and the
+        backtracking step accept in ba_core."""
+        import map_store
+
+        from ppg_slam_tpu.estimator.ba import full_inertial_ba
+
+        seq, tracking, wmap, est, states, lm = run_sequence
+        wm2 = map_store.get_map("straight")  # fresh copy, mutation-safe
+        assert wm2 is not None and wm2.imu_initialized
+
+        def s_align(wm):
+            E, G = [], []
+            for kf in sorted((k for k in wm.all_keyframes()
+                              if not k.is_bad()), key=lambda k: k.mnId):
+                i = int(round(kf.timestamp * seq.fps))
+                if 0 <= i < seq.n_frames:
+                    E.append(kf.camera_center())
+                    G.append(seq.frame_poses[i][1])
+            s, _, _ = umeyama(np.stack(E), np.stack(G), with_scale=True)
+            return s
+
+        # umeyama returns the est->gt alignment scale: halving the map
+        # DOUBLES it
+        s_good = s_align(wm2)
+        wm2.apply_scaled_rotation(np.eye(3, dtype=np.float32), 0.5,
+                                  scale_vel=True)
+        assert abs(s_align(wm2) / s_good - 2.0) < 0.05
+        full_inertial_ba(wm2, iters=100, loop_kf=0, b_init=False,
+                         prior_g=1.0, prior_a=1e5)
+        s_after = s_align(wm2)
+        # the 2x scale error must be substantially annealed in ONE call
+        # (the live pipeline additionally re-runs refinements + VIBA1;
+        # FIBA converges toward IMU-metric scale, which may legitimately
+        # land PAST s_good toward 1.0)
+        assert 0.6 < s_after / s_good < 1.33, (
+            f"FIBA left the map at {s_after / s_good:.3f}x its tracked "
+            f"scale (started at 2.0x) — the scale mode is frozen again")
+
     def test_threaded_mapper_ran_clean(self, run_sequence):
         """The fixture deployed the consumer-thread local mapper: it must
         have processed every keyframe without an exception and stopped
