@@ -849,17 +849,21 @@ def _conformal_best_scale(st, pts, prob, rig, opts, slot_k) -> float:
             st, pts, prob, Rcb, tcb, cam, opts,
             jnp.asarray(sigmas, jnp.float32), slot_k=slot_k))
 
-    sig1 = np.exp(np.linspace(np.log(0.25), np.log(4.0), 13))
+    # all grids share ONE length so every pass reuses one compiled program
+    # per shape bucket (a distinct sigma count would fork a fresh ~10 s
+    # XLA:CPU compile in the test suite)
+    G = 13
+    sig1 = np.exp(np.linspace(np.log(0.25), np.log(4.0), G))
     chis = scan(sig1)
     k = int(np.argmin(chis))
     lo, hi = sig1[max(k - 1, 0)], sig1[min(k + 1, len(sig1) - 1)]
-    sig2 = np.exp(np.linspace(np.log(lo), np.log(hi), 11))
+    sig2 = np.exp(np.linspace(np.log(lo), np.log(hi), G))
     chis2 = scan(sig2)
     k2 = int(np.argmin(chis2))
     lo2 = sig2[max(k2 - 1, 0)]
     hi2 = sig2[min(k2 + 1, len(sig2) - 1)]
     sig3 = np.concatenate([[1.0], np.exp(np.linspace(
-        np.log(lo2), np.log(hi2), 11))])
+        np.log(lo2), np.log(hi2), G - 1))])
     chis3 = scan(sig3)
     base = float(chis3[0])
     k3 = int(np.argmin(chis3))

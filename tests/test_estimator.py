@@ -427,6 +427,30 @@ class TestAnalyticReprojection:
         np.testing.assert_allclose(float(i2["final_chi2"]),
                                    float(i1["final_chi2"]), rtol=1e-3)
 
+    def test_pose_cg_default_iters_on_inertial_window(self):
+        """ADVICE r3 (medium): the accelerator default PCG(64) must match
+        Cholesky on a realistic ILL-SCALED problem — a LIBA-window-class
+        visual-inertial solve whose whitened preintegration blocks sit
+        orders of magnitude above the vision blocks (the spectrum mix the
+        small well-conditioned 5-KF fixture above never exercises)."""
+        from ppg_slam_tpu.parallel import make_vi_problem
+
+        cam, states, points, prob, kf_dof, mp_free = make_vi_problem(
+            n_kf=24, n_mp=256, n_obs=1024, n_col=64, seed=7)
+        eye = jnp.eye(3, dtype=jnp.float32)
+        z3 = jnp.zeros(3, jnp.float32)
+        a = (states, points, prob, kf_dof, mp_free, eye, z3, cam)
+        o_ch = BAOptions(iters=4, lambda0=1e-2, tol=0.0, pose_cg_iters=0)
+        o_cg = BAOptions(iters=4, lambda0=1e-2, tol=0.0, pose_cg_iters=64)
+        s1, p1, i1 = solve_ba(*a, o_ch)
+        s2, p2, i2 = solve_ba(*a, o_cg)
+        # chi2 agreement is the accuracy-relevant contract (trajectories
+        # may differ along near-null directions the cost cannot see)
+        np.testing.assert_allclose(float(i2["final_chi2"]),
+                                   float(i1["final_chi2"]), rtol=5e-3)
+        np.testing.assert_allclose(np.asarray(s2.t), np.asarray(s1.t),
+                                   rtol=5e-3, atol=1e-2)
+
 
 class TestAssemblyPathEquivalence:
     def test_onehot_matches_scatter_assembly(self, monkeypatch):

@@ -121,15 +121,13 @@ class TestPipelineE2E:
 
     def test_fiba_recovers_misscaled_map(self, run_sequence):
         """full_inertial_ba must anneal a global metric-scale error — the
-        r4 root-cause regression. Three compounding solver defects froze
-        the monocular scale mode entirely (measured -0.2% recovery in 100
-        EXACT-solve iterations on a 2.5x mis-scaled map): (1) coline
-        diagonal blocks inside the Schur-folded landmark block destroyed
-        the visual cancellation along vision-invariant modes (spurious
-        curvature 9.5e6 vs a true 450), (2) the 6-consecutive-rejection
-        cap aborted the lambda climb the now-unfrozen overshooting step
-        needs, (3) pure-lambda LM crawls along soft modes (15%/100 it).
-        Guards the Hll/Hll_col fold split, the rejection cap, and the
+        r4 root-cause regression: the Schur fold's coline diagonal (without
+        its cross blocks) leaks ~1e4x spurious stiffness into the vision-
+        invariant conformal mode (measured 9.5e6 vs a true 450), freezing
+        the damped-GN solver's metric-scale recovery entirely (-0.2% of a
+        2.5x error in 100 exact-solve iterations). Guards the conformal
+        line-search annealing interleaved with the solve
+        (ba._conformal_best_scale) plus the raised rejection cap and the
         backtracking step accept in ba_core."""
         import map_store
 
@@ -156,7 +154,9 @@ class TestPipelineE2E:
         wm2.apply_scaled_rotation(np.eye(3, dtype=np.float32), 0.5,
                                   scale_vel=True)
         assert abs(s_align(wm2) / s_good - 2.0) < 0.05
-        full_inertial_ba(wm2, iters=100, loop_kf=0, b_init=False,
+        # 40 iterations: the conformal line search does the scale work;
+        # the full reference budget (100) only adds CI wall time here
+        full_inertial_ba(wm2, iters=40, loop_kf=0, b_init=False,
                          prior_g=1.0, prior_a=1e5)
         s_after = s_align(wm2)
         # the 2x scale error must be substantially annealed in ONE call
