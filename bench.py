@@ -512,20 +512,9 @@ def bench_frontend_uma(B=16, n_batches=4, depth=3):
                                  label="UMA 1024x768")
 
 
-def bench_matching(B=32, n_batches=12, m=2048, n_queries_live=1200,
-                   bank_mps=8192):
-    """Device gated matching (matching/device_match.py): per frame, the
-    tracker's gate queries (local map points + PPG growth partners, ~1-2k)
-    against the persistent on-device descriptor bank, returning the flat
-    gated-pair list (~24 KB) instead of 131 KB of descriptors. Measured at
-    batch-32 steady state like the pose-opt stage (the live path issues one
-    dispatch per frame at the same per-frame byte/FLOP cost)."""
-    import jax
+def _matching_args(B=32, m=2048, n_queries_live=1200, bank_mps=8192):
+    """Device-gated-matching inputs at the batch-B steady-state shape."""
     import jax.numpy as jnp
-
-    from ppg_slam_tpu.ops.device_match import (MATCH_K,
-                                               gated_match_batch_packed,
-                                               unpack_match)
 
     rng = np.random.RandomState(7)
     bank = rng.randn(bank_mps, 256).astype(np.float32)
@@ -541,8 +530,26 @@ def bench_matching(B=32, n_batches=12, m=2048, n_queries_live=1200,
     r = np.full((B, m, 1), 12.0, np.float32)
     rects = np.concatenate([c[..., :1] - r, c[..., :1] + r,
                             c[..., 1:] - r, c[..., 1:] + r], -1)
-    args = tuple(jnp.asarray(a) for a in (bank, bank_idx, fd, kp, kv,
+    return tuple(jnp.asarray(a) for a in (bank, bank_idx, fd, kp, kv,
                                           np.asarray(rects, np.float32)))
+
+
+def bench_matching(B=32, n_batches=12, m=2048, n_queries_live=1200,
+                   bank_mps=8192):
+    """Device gated matching (matching/device_match.py): per frame, the
+    tracker's gate queries (local map points + PPG growth partners, ~1-2k)
+    against the persistent on-device descriptor bank, returning the flat
+    gated-pair list (~24 KB) instead of 131 KB of descriptors. Measured at
+    batch-32 steady state like the pose-opt stage (the live path issues one
+    dispatch per frame at the same per-frame byte/FLOP cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ppg_slam_tpu.ops.device_match import (MATCH_K,
+                                               gated_match_batch_packed,
+                                               unpack_match)
+
+    args = _matching_args(B, m, n_queries_live, bank_mps)
     out = gated_match_batch_packed(*args)
     rows, kps, ds, n_pairs, n_over = unpack_match(np.asarray(out)[0])
     # weather-immune in-program repetition timing (_device_interval_ms):
@@ -652,13 +659,8 @@ def _make_ba_bucket(n_kf, n_mp, slot_k=8, n_col=512, seed=2, free_from=2):
     return args, slot_k
 
 
-def bench_pose_inertial(B=32, n_obs=512, n_batches=8):
-    """Steady-state per-frame optimizer AFTER IMU initialization: the
-    2-frame visual-inertial filter + 30x30 Schur marginalization
-    (PoseInertialOptimizationLastFrame, OptimizerPose.cpp:177-466) runs on
-    EVERY frame once the map is inertial — this, not the pre-IMU visual
-    pose opt, is the deployment per-frame cost. Batch-32 steady state like
-    the other stages."""
+def _pose_inertial_setup(B=32, n_obs=512):
+    """Jitted batch VI-filter step + inputs at the steady-state shape."""
     import jax
     import jax.numpy as jnp
 
@@ -720,6 +722,19 @@ def bench_pose_inertial(B=32, n_obs=512, n_batches=8):
             c, p, pre, pr, Xs, uvs, vs, cl, Rcb, tcb, cam)))
     args = (curr0, prev, preint, prior, jnp.asarray(X), jnp.asarray(uv),
             jnp.asarray(valid), jnp.asarray(close))
+    return step, args, t_curr
+
+
+def bench_pose_inertial(B=32, n_obs=512, n_batches=8):
+    """Steady-state per-frame optimizer AFTER IMU initialization: the
+    2-frame visual-inertial filter + 30x30 Schur marginalization
+    (PoseInertialOptimizationLastFrame, OptimizerPose.cpp:177-466) runs on
+    EVERY frame once the map is inertial — this, not the pre-IMU visual
+    pose opt, is the deployment per-frame cost. Batch-32 steady state like
+    the other stages."""
+    import jax.numpy as jnp
+
+    step, args, t_curr = _pose_inertial_setup(B, n_obs)
     out = step(*args)
     n_in = int(np.asarray(out[2])[0])
     assert n_in > n_obs * 0.7, n_in
@@ -731,6 +746,56 @@ def bench_pose_inertial(B=32, n_obs=512, n_batches=8):
         lambda a, c: a[:4] + (a[4] + c * 1e-30,) + a[5:])
     ms = _device_interval_ms(rep, args) / B  # helper returns ms
     _effline("pose_inertial", step, args, ms, items=B)
+    return ms
+
+
+def bench_fused_tracking(B=32, mt_ms=None, pi_ms=None):
+    """Single-clock cross-stage measurement (VERDICT r3 #8): ONE jitted
+    device program runs the gated-match program AND the 2-frame VI filter
+    for the same frame batch back-to-back, slope-timed with the same
+    in-program repetition scheme as the individual stages. Comparing
+    against the sum of the separately-timed stages bounds the cross-stage
+    effects (HBM pressure, scheduling gaps between programs) that the
+    per-stage methodology is structurally blind to."""
+    import jax
+    import jax.numpy as jnp
+
+    from ppg_slam_tpu.ops.device_match import gated_match_batch_packed
+
+    margs = _matching_args(B)
+    _, pargs, _ = _pose_inertial_setup(B)
+
+    # re-derive the unjitted vmapped VI-filter body so both stages trace
+    # into a single XLA program
+    from ppg_slam_tpu.estimator import pose_inertial_optimization
+    from ppg_slam_tpu.geometry.cameras import CAM_PINHOLE, CameraModel
+
+    cam = CameraModel(kind=CAM_PINHOLE, fx=458.654, fy=457.296, cx=367.215,
+                      cy=248.375, dist=(0.0, 0.0, 0.0, 0.0),
+                      width=752, height=480)
+    Rcb = jnp.eye(3, dtype=jnp.float32)
+    tcb = jnp.zeros(3, jnp.float32)
+    vi_body = jax.vmap(
+        lambda c, p, pre, pr, Xs, uvs, vs, cl: pose_inertial_optimization(
+            c, p, pre, pr, Xs, uvs, vs, cl, Rcb, tcb, cam))
+
+    def fused_body(*a):
+        m_out = gated_match_batch_packed(*a[:6])
+        p_out = vi_body(*a[6:])
+        return m_out, p_out
+
+    args = margs + pargs
+    rep = _make_rep(
+        fused_body,
+        lambda a, c: (a[0], a[1], a[2], a[3] + c * 1e-30, a[4], a[5],
+                      a[6], a[7], a[8], a[9],
+                      a[10] + c * 1e-30) + a[11:])
+    ms = _device_interval_ms(rep, args) / B
+    if mt_ms is not None and pi_ms is not None:
+        both = mt_ms + pi_ms
+        log(f"fused match+pose-inertial single-clock: {ms:.2f} ms/frame vs "
+            f"sum-of-stages {both:.2f} ms/frame "
+            f"({(ms / both - 1) * 100:+.0f}% cross-stage effect)")
     return ms
 
 
@@ -1439,6 +1504,10 @@ def main() -> None:
     log(f"pose-inertial optimization (batch-32, 512 obs, 2-frame VI filter "
         f"+ 30x30 marginalization — the post-IMU-init steady state): "
         f"{pi:.2f} ms/frame")
+    try:
+        bench_fused_tracking(mt_ms=mt, pi_ms=pi)
+    except Exception as e:
+        log(f"fused single-clock line skipped: {type(e).__name__}: {e}")
     lba, kf_int = bench_lba()
     log(f"local BA (50 KF/5k MP/40k obs — the reference's real LIBA window, "
         f"{lba:.1f} ms/solve steady-state, KF every {kf_int} frames): "
