@@ -940,6 +940,12 @@ def bench_solver_table():
 
 E2E_NOISE_GYRO = 1.7e-3   # 10x EuRoC (consumer-grade IMU)
 E2E_NOISE_ACC = 2e-2
+# Pinned live-e2e accuracy fixture (VERDICT r3 #1): scale-aligned KF-ATE
+# on the 16 m corridor, serial config. Set from the first green run after
+# the r4 scale-annealing chain landed; the e2e stderr line flags any
+# config whose ATE exceeds 3x this pin. None = pin pending (printed as
+# such) — deliberately re-pin when an intended change shifts it.
+E2E_PINNED_ATE_M = None
 
 
 def _e2e_cam():
@@ -1551,6 +1557,13 @@ def main() -> None:
             f"[serial incl. 1 extract] x {rt_ms:.0f} ms measured link round "
             f"trip — RT-bound on this harness; deployment hardware pays "
             f"~0.2 ms per dispatch)")
+        if E2E_PINNED_ATE_M is None:
+            log("  [e2e ATE pin: pending first green capture]")
+        else:
+            worst = max(a for a in ates if a == a)
+            verdict = "within" if worst <= 3 * E2E_PINNED_ATE_M else "OVER"
+            log(f"  [e2e ATE pin {E2E_PINNED_ATE_M:.3f} m: worst config "
+                f"{worst:.3f} m — {verdict} 3x pin]")
     except Exception as e:  # side metric must never break the gate
         log(f"e2e live tracking bench skipped: {type(e).__name__}: {e}")
     try:

@@ -813,7 +813,10 @@ def _conformal_scan(states, points, prob, Rcb, tcb, cam, opts, sigmas,
                     slot_k: int = 0):
     """chi2 along the exact conformal (global-scale) curve: scale t, v and
     landmarks about the origin keyframe's position by each sigma. One
-    vmapped device program evaluates the whole grid."""
+    device program evaluates the whole grid; lax.map (not vmap) keeps the
+    compiled program ONE chi2 graph + a loop — the vmapped form compiled
+    a 13x-wide graph per shape bucket, ~20 s of XLA:CPU compile each
+    across the test fixtures."""
     from .ba_core import _chi2_only
 
     c = states.t[0]
@@ -823,7 +826,7 @@ def _conformal_scan(states, points, prob, Rcb, tcb, cam, opts, sigmas,
         pts = c + (points - c) * s
         return _chi2_only(st, pts, prob, cam, Rcb, tcb, opts, slot_k=slot_k)
 
-    return jax.vmap(chi_at)(sigmas)
+    return jax.lax.map(chi_at, sigmas)
 
 
 def _conformal_best_scale(st, pts, prob, rig, opts, slot_k) -> float:
@@ -923,10 +926,14 @@ def conformal_scale_refine(wmap: Map) -> float:
     st = KFStates(*[jnp.asarray(x) for x in states])
     s = _conformal_best_scale(st, jnp.asarray(points), prob, rig, opts,
                               slot_k)
-    if s != 1.0:
-        wmap.apply_scaled_rotation(np.eye(3, dtype=np.float32), s,
-                                   scale_vel=True)
-        wmap.info_map_change()
+    # apply only MEANINGFUL corrections: sub-percent rescalings are within
+    # the estimator's own noise and repeatedly churning the whole map by
+    # them measurably destabilized downstream place recognition
+    if abs(s - 1.0) <= 0.01:
+        return 1.0
+    wmap.apply_scaled_rotation(np.eye(3, dtype=np.float32), s,
+                               scale_vel=True)
+    wmap.info_map_change()
     return s
 
 

@@ -417,7 +417,11 @@ class TestAnalyticReprojection:
         z3 = jnp.zeros(3, jnp.float32)
         a = (states, points, prob, kf_dof, mp_free, eye, z3, cam)
         o_ch = BAOptions(iters=4, lambda0=1e-2, tol=0.0, pose_cg_iters=0)
-        o_cg = BAOptions(iters=4, lambda0=1e-2, tol=0.0, pose_cg_iters=80)
+        # 64 = the accelerator DEFAULT iteration count, and the same
+        # static-aux value as the ill-scaled-window test below — the two
+        # tests share one compiled program pair instead of paying a third
+        # ~20 s pose_cg=80 XLA:CPU compile
+        o_cg = BAOptions(iters=4, lambda0=1e-2, tol=0.0, pose_cg_iters=64)
         s1, p1, i1 = solve_ba(*a, o_ch)
         s2, p2, i2 = solve_ba(*a, o_cg)
         np.testing.assert_allclose(np.asarray(s2.t), np.asarray(s1.t),
