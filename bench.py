@@ -174,6 +174,29 @@ def _probe_backend(timeout_s: float = 240.0, attempts: int = 6,
             log(last)
             continue
         log(f"backend probe ok: {r.stdout.strip()}")
+        # NON-FATAL downlink diagnostic: relay outages have been observed
+        # where connections succeed but D2H collapses to ~64 KB/s (r4) —
+        # a crawling run still completes (slope-timed stages are
+        # weather-immune), but the log should say why wall times ballooned
+        try:
+            b = subprocess.run(
+                [sys.executable, "-c",
+                 "import time, numpy as np, jax\n"
+                 "t0 = time.time()\n"
+                 "np.asarray(jax.device_put("
+                 "np.ones((256, 256), np.float32)))\n"
+                 "print(f'{0.25 / max(time.time() - t0, 1e-9):.2f}')"],
+                timeout=90, capture_output=True, text=True)
+            mbps = float(b.stdout.strip()) if b.returncode == 0 else 0.0
+            if mbps < 1.0:
+                log(f"WARNING: relay downlink degraded "
+                    f"({mbps:.2f} MB/s D2H) — wall-clock metrics will "
+                    f"balloon; slope-timed device metrics stay valid")
+            else:
+                log(f"relay downlink ~{mbps:.1f} MB/s")
+        except Exception:
+            log("WARNING: relay downlink probe timed out (<3 KB/s) — "
+                "severe degradation")
         return
     log(f"FATAL: no TPU backend after {attempts} probes — aborting bench. "
         f"Last error: {last}")
@@ -1356,6 +1379,9 @@ def bench_e2e_loop(n_frames=280):
             tracking.grab_imu(rows)
         tracking.grab_image(img, t)
         times.append(time.perf_counter() - t0)
+        if k % 40 == 39:  # supervisor heartbeat (420 s silence kill)
+            log(f"  [e2e-loop: frame {k + 1}/{len(frames)}, "
+                f"kfs={wmap.n_keyframes()}, loops={lc.n_loops_closed}]")
     lm.stop()
     lc.poll_gba(wait=True)
     ok = tracking.state == OK and wmap.imu_initialized

@@ -189,6 +189,15 @@ class BAOptions:
     # 64-KF bucket (35% of the whole solve, profiled) and scales ~N^3,
     # while the damped SPD system solves in tens of cheap matvecs.
     pose_cg_iters: Optional[int] = None
+    # Backtracking step accept (retry a rejected step at alpha = 1/4 and
+    # 1/16 before growing lambda): None = auto (ON on accelerators — the
+    # extra chi2 evaluations live in a lax.cond branch off the
+    # accepted-step path and the persistent TPU compile cache amortizes
+    # the larger program; OFF on the CPU test backend, where the branch
+    # grew every solve-bucket's XLA:CPU compile enough to blow the CI
+    # verification window). One default-lane test forces it ON so the
+    # accelerator path has CPU coverage (same pattern as pose_cg_iters).
+    backtrack: Optional[bool] = None
 
 
 def _opt_leaf(x, np_type):
@@ -209,6 +218,13 @@ def _resolve_pose_cg(v):
     return v
 
 
+def _resolve_backtrack(v):
+    """None -> backend default (see BAOptions.backtrack)."""
+    if v is None:
+        return jax.default_backend() != "cpu"
+    return bool(v)
+
+
 jax.tree_util.register_pytree_node(
     BAOptions,
     lambda o: ((_opt_leaf(o.iters, np.int32),
@@ -219,11 +235,13 @@ jax.tree_util.register_pytree_node(
                 _opt_leaf(o.coline_delta, np.float32),
                 _opt_leaf(o.chi2_inlier_mono, np.float32),
                 _opt_leaf(o.tol, np.float32)),
-               (o.adapt, o.pcg_iters, _resolve_pose_cg(o.pose_cg_iters))),
+               (o.adapt, o.pcg_iters, _resolve_pose_cg(o.pose_cg_iters),
+                _resolve_backtrack(o.backtrack))),
     lambda aux, ls: BAOptions(
         iters=ls[0], lambda0=ls[1], reproj_kernel=ls[2], reproj_delta=ls[3],
         coline_kernel=ls[4], coline_delta=ls[5], chi2_inlier_mono=ls[6],
-        tol=ls[7], adapt=aux[0], pcg_iters=aux[1], pose_cg_iters=aux[2]),
+        tol=ls[7], adapt=aux[0], pcg_iters=aux[1], pose_cg_iters=aux[2],
+        backtrack=aux[3]),
 )
 
 
@@ -1070,8 +1088,12 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
             def _full(_):
                 return new_states, new_points, new_chi2
 
-            cand_states, cand_points, cand_chi2 = jax.lax.cond(
-                new_chi2 < chi2, _full, _backtrack, None)
+            if opts.backtrack:  # static (see BAOptions.backtrack)
+                cand_states, cand_points, cand_chi2 = jax.lax.cond(
+                    new_chi2 < chi2, _full, _backtrack, None)
+            else:
+                cand_states, cand_points, cand_chi2 = (
+                    new_states, new_points, new_chi2)
             accept = cand_chi2 < chi2
             import os as _os
             if _os.environ.get("PPG_BA_DEBUG"):

@@ -431,6 +431,31 @@ class TestAnalyticReprojection:
         np.testing.assert_allclose(float(i2["final_chi2"]),
                                    float(i1["final_chi2"]), rtol=1e-3)
 
+    def test_backtracking_accept_covered(self):
+        """BAOptions.backtrack resolves ON for accelerators but OFF on the
+        CPU test backend (compile-budget; see the field docstring) — force
+        it ON here so the accelerator default has CPU coverage. The
+        backtrack branch engages only on rejected steps, so on the same
+        problem it must do at least as well as the plain accept."""
+        from ppg_slam_tpu.parallel import make_vi_problem
+
+        cam, states, points, prob, kf_dof, mp_free = make_vi_problem(
+            n_kf=5, n_mp=48, n_obs=160, n_col=12, seed=1)
+        eye = jnp.eye(3, dtype=jnp.float32)
+        z3 = jnp.zeros(3, jnp.float32)
+        a = (states, points, prob, kf_dof, mp_free, eye, z3, cam)
+        o_bt = BAOptions(iters=6, lambda0=1e-2, tol=0.0, pose_cg_iters=0,
+                         backtrack=True)
+        o_pl = BAOptions(iters=6, lambda0=1e-2, tol=0.0, pose_cg_iters=0,
+                         backtrack=False)
+        _, _, i_bt = solve_ba(*a, o_bt)
+        _, _, i_pl = solve_ba(*a, o_pl)
+        h_bt = np.asarray(i_bt["chi2_hist"])
+        assert float(i_bt["final_chi2"]) < h_bt[0] * 0.9, "no descent"
+        assert float(i_bt["final_chi2"]) <= \
+            float(i_pl["final_chi2"]) * 1.05, (
+                "backtracking accept did worse than the plain accept")
+
     def test_pose_cg_default_iters_on_inertial_window(self):
         """ADVICE r3 (medium): the accelerator default PCG(64) must match
         Cholesky on a realistic ILL-SCALED problem — a LIBA-window-class
