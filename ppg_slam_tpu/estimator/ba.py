@@ -848,9 +848,13 @@ def _conformal_best_scale(st, pts, prob, rig, opts, slot_k) -> float:
     tcb = jnp.asarray(rig.tcb)
 
     def scan(sigmas):
-        return np.asarray(_conformal_scan(
+        chis = np.asarray(_conformal_scan(
             st, pts, prob, Rcb, tcb, cam, opts,
             jnp.asarray(sigmas, jnp.float32), slot_k=slot_k))
+        # extreme sigmas can overflow chi2 to inf/NaN in f32; np.argmin
+        # returns the FIRST NaN index, which would steer the search into
+        # garbage — treat non-finite as +inf
+        return np.where(np.isfinite(chis), chis, np.inf)
 
     # all grids share ONE length so every pass reuses one compiled program
     # per shape bucket (a distinct sigma count would fork a fresh ~10 s
