@@ -888,22 +888,15 @@ def _apply_conformal(st, pts, s):
     return st, jnp.asarray(c + (np.asarray(pts) - c) * s)
 
 
-def conformal_scale_refine(wmap: Map) -> float:
-    """Full-objective global-scale correction for a live inertial map: the
-    closed-form ScaleRefinement estimator (velocities held fixed,
-    OptimizerInertial.cpp:29-152) is attenuation-biased when per-link
-    curvature signal is near the visual noise floor and measurably dragged
-    live corridor runs toward scale collapse (r4). This gathers the full
-    visual-inertial residual set (the FIBA problem, no GN solve) and
-    line-searches the one-dimensional conformal mode against the TOTAL
-    chi2 — a strictly better estimator of the same quantity, 3 vmapped
-    device dispatches. Applies the correction via ApplyScaledRotation and
-    returns it (1.0 = map already scale-stationary)."""
+def _gather_full_problem(wmap: Map):
+    """Gather the live map's FIBA residual set (no solve): returns
+    (states, points, prob, slot_k, kfs, mps) with states/points padded to
+    the solver buckets, or None when the map is too small."""
     rig = wmap.rig
     kfs = sorted(wmap.all_keyframes(), key=lambda k: k.mnId)
     mps = wmap.all_map_points()
     if len(kfs) < 3 or not mps:
-        return 1.0
+        return None
     kf_index = {k.mnId: i for i, k in enumerate(kfs)}
     mp_index = {mp.mnId: j for j, mp in enumerate(mps)}
     states = _body_states(kfs, rig)
@@ -913,7 +906,6 @@ def conformal_scale_refine(wmap: Map) -> float:
     links = _gather_links(kfs, kf_index)
     prob, slot_k, _ = _pad_problem(r_kf, r_mp, r_uv, c_idx, c_w,
                                    links=links, n_mp=len(mps))
-    # pad states/points to the solver buckets (prob indices assume them)
     n, m = len(kfs), len(mps)
     N, M = _bucket_nm(n, m)
     if N != n:
@@ -926,6 +918,64 @@ def conformal_scale_refine(wmap: Map) -> float:
     if M != m:
         points = np.concatenate(
             [points, np.tile(np.float32([0.0, 0.0, 1.0]), (M - m, 1))])
+    return states, points, prob, slot_k, kfs, mps
+
+
+def whole_map_transform_gain(wmap: Map, Rgw: np.ndarray,
+                             scale: float):
+    """Evaluate the FULL visual-inertial chi2 of the current map and of a
+    candidate whole-map transform (Rgw rotation + rescale, the
+    ApplyScaledRotation semantics: R' = Rgw R, t' = s Rgw t, v' = s Rgw v,
+    X' = s Rgw X) WITHOUT mutating the map. Lets callers reject a
+    closed-form gravity/scale estimate that would worsen the total
+    objective — the r4 live corridor showed the velocities-fixed
+    ScaleRefinement estimator applying a rotation+scale that exploded the
+    whitened inertial chi2 from 2.6e4 to 2.1e8 (and a wrong ROTATION is
+    unrepairable by any scale-only search). Returns (chi2_now, chi2_cand),
+    or (0.0, 0.0) when the map is too small to evaluate."""
+    g = _gather_full_problem(wmap)
+    if g is None:
+        return 0.0, 0.0
+    states, points, prob, slot_k, _, _ = g
+    rig = wmap.rig
+    opts = BAOptions(reproj_kernel="huber")
+    Rcb = jnp.asarray(rig.Rcb)
+    tcb = jnp.asarray(rig.tcb)
+    one = jnp.ones((1,), jnp.float32)
+    st0 = KFStates(*[jnp.asarray(x) for x in states])
+    c0 = float(_conformal_scan(st0, jnp.asarray(points), prob, Rcb, tcb,
+                               rig.cam, opts, one, slot_k=slot_k)[0])
+    Rgw = np.asarray(Rgw, np.float32)
+    s = np.float32(scale)
+    st1 = KFStates(
+        np.einsum("ij,njk->nik", Rgw, states.R),
+        s * states.t @ Rgw.T, s * states.v @ Rgw.T,
+        states.bg, states.ba)
+    pts1 = s * points @ Rgw.T
+    c1 = float(_conformal_scan(KFStates(*[jnp.asarray(x) for x in st1]),
+                               jnp.asarray(pts1), prob, Rcb, tcb, rig.cam,
+                               opts, one, slot_k=slot_k)[0])
+    if not (np.isfinite(c0) and np.isfinite(c1)):
+        return 0.0, float("inf")
+    return c0, c1
+
+
+def conformal_scale_refine(wmap: Map) -> float:
+    """Full-objective global-scale correction for a live inertial map: the
+    closed-form ScaleRefinement estimator (velocities held fixed,
+    OptimizerInertial.cpp:29-152) is attenuation-biased when per-link
+    curvature signal is near the visual noise floor and measurably dragged
+    live corridor runs toward scale collapse (r4). This gathers the full
+    visual-inertial residual set (the FIBA problem, no GN solve) and
+    line-searches the one-dimensional conformal mode against the TOTAL
+    chi2 — a strictly better estimator of the same quantity, 3 vmapped
+    device dispatches. Applies the correction via ApplyScaledRotation and
+    returns it (1.0 = map already scale-stationary)."""
+    g = _gather_full_problem(wmap)
+    if g is None:
+        return 1.0
+    states, points, prob, slot_k, _, _ = g
+    rig = wmap.rig
     opts = BAOptions(reproj_kernel="huber")
     st = KFStates(*[jnp.asarray(x) for x in states])
     s = _conformal_best_scale(st, jnp.asarray(points), prob, rig, opts,

@@ -1359,18 +1359,36 @@ class Tracking:
             prob, prior_g=0.0, prior_a=0.0, fix_vel_bias=True, iters=30)
         scale = float(scale)
         hist = np.asarray(hist)
+        applied = False
+        if scale >= 1e-1 and abs(scale - 1.0) > 0.002:
+            # FULL-OBJECTIVE acceptance gate (r4): the velocities-fixed
+            # closed-form estimator is attenuation-biased near the visual
+            # noise floor and was measured applying a gravity-rotation +
+            # scale that exploded the whitened inertial chi2 from 2.6e4
+            # to 2.1e8 on a live corridor (a wrong ROTATION is then
+            # unrepairable by any scale-only correction). Evaluate the
+            # candidate transform against the total visual-inertial chi2
+            # and refuse applies that worsen it. The reference applies
+            # unconditionally (ScaleRefinement, Tracking.cpp:1701-1742) —
+            # it can afford to, because its g2o FullInertialBA repairs
+            # rotation errors; our conformal net only spans scale.
+            from ..estimator.ba import whole_map_transform_gain
+
+            Rwg_f = np.asarray(Rwg_f, np.float32)
+            c0, c1 = whole_map_transform_gain(self.map, Rwg_f.T, scale)
+            if c1 <= c0 * 1.001:
+                self.map.apply_scaled_rotation(Rwg_f.T, scale,
+                                               scale_vel=True)
+                self._update_frame_imu(scale)
+                applied = True
         ev = dict(t=float(self.last_kf.timestamp), kind="refine",
-                  scale=scale, n_kfs=len(kfs), applied=scale >= 1e-1,
+                  scale=scale, n_kfs=len(kfs), applied=applied,
                   chi2_first=float(hist[0]), chi2_last=float(hist[-1]))
         self.init_events.append(ev)
         if self.on_map_event is not None:
             self.on_map_event(ev)
         if scale < 1e-1:
             return
-        if abs(scale - 1.0) > 0.002:
-            Rwg_f = np.asarray(Rwg_f, np.float32)
-            self.map.apply_scaled_rotation(Rwg_f.T, scale, scale_vel=True)
-            self._update_frame_imu(scale)
         # full-objective conformal correction (r4): the closed-form
         # velocities-fixed estimator above is attenuation-biased when the
         # per-link curvature signal sits near the visual noise floor
