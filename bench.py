@@ -1345,7 +1345,7 @@ def bench_e2e_loop(n_frames=280):
     tracking.local_mapper = lm
     lm.start()  # consumer thread: the 4-thread deployment
 
-    def kf_ate():
+    def kf_align():
         est, gt = [], []
         for kf in sorted((k for k in wmap.all_keyframes()
                           if not k.is_bad()), key=lambda k: k.timestamp):
@@ -1355,9 +1355,13 @@ def bench_e2e_loop(n_frames=280):
                 Rcw, tcw = gt_poses[idx]
                 gt.append(-Rcw.T @ tcw)
         if len(est) < 8:
-            return float("nan")
-        return align_and_ate(np.asarray(est), np.asarray(gt),
-                             with_scale=True).rmse
+            return float("nan"), float("nan")
+        res = align_and_ate(np.asarray(est), np.asarray(gt),
+                            with_scale=True)
+        return res.rmse, res.scale
+
+    def kf_ate():
+        return kf_align()[0]
 
     pre_loop = {}
     orig_correct = lc.correct_loop
@@ -1385,10 +1389,16 @@ def bench_e2e_loop(n_frames=280):
     lm.stop()
     lc.poll_gba(wait=True)
     ok = tracking.state == OK and wmap.imu_initialized
+    ate_post, s_align = kf_align()
     return (float(np.mean(times[10:])) * 1e3, ok, wmap.n_keyframes(),
-            lc.n_loops_closed, pre_loop.get("ate", float("nan")), kf_ate(),
-            [(e["kind"], round(e["t"], 2), round(e["scale"], 3))
-             for e in tracking.init_events])
+            lc.n_loops_closed, pre_loop.get("ate", float("nan")), ate_post,
+            [(e["kind"], round(e["t"], 2), round(e["scale"], 3),
+              "applied" if e.get("applied") else "refused")
+             for e in tracking.init_events],
+            s_align,
+            [(round(e["t"], 2) if e["t"] is not None else None,
+              f"{e['from_state']}->{e['to_state']}")
+             for e in tracking.state_events])
 
 
 def bench_e2e_live(n_frames=160, batch=8):
@@ -1464,10 +1474,17 @@ def bench_e2e_live(n_frames=160, batch=8):
         dpf = ((disp_marks[marks[1]] - disp_marks[marks[0]]) / 16.0
                if len(marks) == 2 else float("nan"))
         ok = tracking.state == OK and wmap.imu_initialized
-        # scale-annealing evidence (VERDICT r3 #1): every init/refinement
-        # event with its estimated scale, printed in the bench tail
-        events = [(e["kind"], round(e["t"], 2), round(e["scale"], 3))
+        # scale-annealing evidence (VERDICT r3 #1 / r4 #3): every init/
+        # refinement event with its estimated scale AND whether it was
+        # actually applied (a refused 0.23 estimate is healthy; an applied
+        # one is a collapse), plus tracker state transitions so a not-OK
+        # run is diagnosable from the artifact alone
+        events = [(e["kind"], round(e["t"], 2), round(e["scale"], 3),
+                   "applied" if e.get("applied") else "refused")
                   for e in tracking.init_events]
+        st_events = [(round(e["t"], 2) if e["t"] is not None else None,
+                      f"{e['from_state']}->{e['to_state']}")
+                     for e in tracking.state_events]
         # ATE over the FINAL keyframe trajectory: per-frame logged
         # positions span different map epochs (the IMU init / VIBA1
         # rescale whole-map transforms do not retroactively update
@@ -1483,26 +1500,37 @@ def bench_e2e_live(n_frames=160, batch=8):
                 est_kf.append(kf.camera_center())
                 Rcw, tcw = gt_poses[idx]
                 gt_kf.append(-Rcw.T @ tcw)
-        ate = (align_and_ate(np.asarray(est_kf), np.asarray(gt_kf),
-                             with_scale=True).rmse
-               if len(est_kf) >= 8 else float("nan"))
+        # metric-scale error |s_align - 1| (VERDICT r4 #3): with_scale=True
+        # ATE is blind to exactly the scale-collapse failure mode this
+        # project fought — report the alignment scale alongside
+        if len(est_kf) >= 8:
+            res = align_and_ate(np.asarray(est_kf), np.asarray(gt_kf),
+                                with_scale=True)
+            ate, s_align = res.rmse, res.scale
+        else:
+            ate, s_align = float("nan"), float("nan")
         # MEAN over the steady tail: the prefetcher amortizes extraction
         # over batch boundaries, so a median would hide the batch stalls
         steady = times[10:]
         return (float(np.mean(steady)) * 1e3, ok, wmap.n_keyframes(), ate,
-                dpf, events)
+                dpf, events, s_align, st_events)
 
     run(False)  # warm pass: compile every per-frame program untimed
     log("  [e2e: warm pass done]")
-    serial_ms, ok_s, kf_s, ate_s, dpf_s, ev_s = run(False)
-    log(f"  [e2e: serial pass done; scale events: {ev_s}]")
-    async_ms, ok_a, kf_a, ate_a, dpf_a, ev_a = run(True)
-    log(f"  [e2e: async pass done; scale events: {ev_a}]")
+    (serial_ms, ok_s, kf_s, ate_s, dpf_s, ev_s, sa_s,
+     st_s) = run(False)
+    log(f"  [e2e: serial pass done; scale events: {ev_s}; "
+        f"state transitions: {st_s}]")
+    (async_ms, ok_a, kf_a, ate_a, dpf_a, ev_a, sa_a,
+     st_a) = run(True)
+    log(f"  [e2e: async pass done; scale events: {ev_a}; "
+        f"state transitions: {st_a}]")
     # full deployment: pipelined front-end + local mapping on its own
     # consumer thread (keyframe fuse/BA leave the per-frame critical path)
-    full_ms, ok_f, kf_f, ate_f, dpf_f, ev_f = run(True,
-                                                  use_mapper_thread=True)
-    log(f"  [e2e: threaded pass done; scale events: {ev_f}]")
+    (full_ms, ok_f, kf_f, ate_f, dpf_f, ev_f, sa_f,
+     st_f) = run(True, use_mapper_thread=True)
+    log(f"  [e2e: threaded pass done; scale events: {ev_f}; "
+        f"state transitions: {st_f}]")
 
     # measure the link's dispatch round trip at run time: live tracking is
     # RT-bound on this harness (~3-5 dispatches/frame), so the absolute
@@ -1519,7 +1547,7 @@ def bench_e2e_live(n_frames=160, batch=8):
     rt_ms = float(np.median(rts)) * 1e3
     return ((serial_ms, async_ms, full_ms), (ok_s, ok_a, ok_f),
             (kf_s, kf_a, kf_f), (ate_s, ate_a, ate_f), rt_ms,
-            (dpf_s, dpf_a, dpf_f))
+            (dpf_s, dpf_a, dpf_f), (sa_s, sa_a, sa_f))
 
 
 def main() -> None:
@@ -1571,14 +1599,17 @@ def main() -> None:
     except Exception as e:
         log(f"solver scaling table skipped: {type(e).__name__}: {e}")
     try:
-        (ser, asy, full), ok, kfs, ates, rt_ms, dpfs = bench_e2e_live()
+        ((ser, asy, full), ok, kfs, ates, rt_ms, dpfs,
+         s_aligns) = bench_e2e_live()
         log(f"e2e live INERTIAL tracking (wireframe corridor + synthetic "
             f"IMU, imu_ini_time=4s, serving config): serial "
             f"{ser:.1f} -> async front-end {asy:.1f} -> + threaded mapping "
             f"{full:.1f} ms/frame (tracking+IMU-init ok="
             f"{ok[0]}/{ok[1]}/{ok[2]}, kfs={kfs}, "
             f"synthetic ATE RMSE = {ates[0]:.3f}/{ates[1]:.3f}/{ates[2]:.3f} "
-            f"m; steady-state device dispatches/frame = "
+            f"m; metric s_align = {s_aligns[0]:.3f}/{s_aligns[1]:.3f}/"
+            f"{s_aligns[2]:.3f} [1.0 = metric]; "
+            f"steady-state device dispatches/frame = "
             f"{dpfs[0]:.1f}/{dpfs[1]:.1f}/{dpfs[2]:.1f} "
             f"[serial incl. 1 extract] x {rt_ms:.0f} ms measured link round "
             f"trip — RT-bound on this harness; deployment hardware pays "
@@ -1593,13 +1624,15 @@ def main() -> None:
     except Exception as e:  # side metric must never break the gate
         log(f"e2e live tracking bench skipped: {type(e).__name__}: {e}")
     try:
-        (lms, lok, lkfs, nloops, ate_pre, ate_post, lev) = bench_e2e_loop()
+        (lms, lok, lkfs, nloops, ate_pre, ate_post, lev, l_salign,
+         l_stev) = bench_e2e_loop()
         log(f"e2e live LOOP-CLOSURE run (two-wall out-and-back corridor, "
             f"FULL 4-thread deployment: prefetchless tracking + consumer-"
             f"thread mapping + loop closing + threaded GBA, BoW vocab "
             f"loaded): {lms:.1f} ms/frame, ok={lok}, kfs={lkfs}, "
             f"loops_closed={nloops}, KF-ATE pre-loop={ate_pre:.3f} -> "
-            f"final={ate_post:.3f} m; scale events: {lev}")
+            f"final={ate_post:.3f} m, metric s_align={l_salign:.3f}; "
+            f"scale events: {lev}; state transitions: {l_stev}")
     except Exception as e:
         log(f"e2e loop-closure bench skipped: {type(e).__name__}: {e}")
 

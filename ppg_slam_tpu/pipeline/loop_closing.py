@@ -206,13 +206,19 @@ class LoopClosing:
         points = self._gather_window_points(matched_kf)
         self.loop_mps = points
         n, matched = self._project_matches(kf, Scw, points, th=8)
+        if self.debug:
+            print(f"    [lc] cont KF{kf.mnId}<-KF{matched_kf.mnId}: n={n}")
         if n < 30:
             return False, n, matched, Scw
         # optimize the relative Sim3 (scale fixed for inertial)
         S_new, n_opt = self._optimize_sim3_pair(kf, matched_kf, matched, Scw)
+        if self.debug:
+            print(f"    [lc] cont KF{kf.mnId}: n_opt={n_opt}")
         if n_opt <= 50:
             return False, n, matched, Scw
         n2, matched2 = self._project_matches(kf, S_new, points, th=5)
+        if self.debug:
+            print(f"    [lc] cont KF{kf.mnId}: n2={n2}")
         if n2 < 100:
             return False, n2, matched2, Scw
         return True, n2, matched2, S_new
@@ -403,6 +409,9 @@ class LoopClosing:
         valid_rot = np.isfinite(Sww.R).all() and -1.0 <= tr <= 3.0
         phi = (so3.log(Sww.R.astype(np.float32))
                if valid_rot else np.zeros(3))
+        if self.debug:
+            print(f"    [lc] validate KF{kf.mnId}: phi={np.round(phi, 4)} "
+                  f"valid_rot={valid_rot}")
         if abs(phi[0]) < 0.008 and abs(phi[1]) < 0.008 and abs(phi[2]) < 0.349:
             if self.map.inertial_ba1:
                 phi_yaw = np.float32([0.0, 0.0, phi[2]])

@@ -167,6 +167,71 @@ class TestPipelineE2E:
             f"FIBA left the map at {s_after / s_good:.3f}x its tracked "
             f"scale (started at 2.0x) — the scale mode is frozen again")
 
+    def test_transform_gain_gate_directions(self, run_sequence):
+        """Direct coverage of whole_map_transform_gain (VERDICT r4 #9):
+        the acceptance gate must (a) score the identity transform as a
+        no-op, (b) score catastrophic collapses/rotations as worse, and
+        (c) never mutate the map it evaluates."""
+        import map_store
+
+        from ppg_slam_tpu.estimator.ba import whole_map_transform_gain
+        from ppg_slam_tpu.geometry import so3
+
+        seq, tracking, wmap, est, states, lm = run_sequence
+        wm2 = map_store.get_map("straight")
+        I = np.eye(3, dtype=np.float32)
+        gain = whole_map_transform_gain(wm2, I, 1.0)
+        assert gain is not None
+        c0, c1 = gain
+        assert c0 > 0 and abs(c1 - c0) <= 1e-3 * c0, (c0, c1)
+        # 0.3x metric collapse on a healthy metric map must be refused
+        c0, c1 = whole_map_transform_gain(wm2, I, 0.3)
+        assert c1 > c0 * 1.001, (c0, c1)
+        # a grossly wrong gravity rotation (~29 deg) must be refused
+        Rbad = so3.exp(np.float32([0.5, 0.0, 0.0])).astype(np.float32)
+        r0, r1 = whole_map_transform_gain(wm2, Rbad, 1.0)
+        assert r1 > r0 * 1.001, (r0, r1)
+        # purity: evaluating candidates must not have mutated the map
+        c0b, _ = whole_map_transform_gain(wm2, I, 0.3)
+        assert c0b == c0, (c0, c0b)
+
+    def test_conformal_refine_fixes_misscale_only(self, run_sequence):
+        """Direct coverage of conformal_scale_refine (VERDICT r4 #9): it
+        must substantially repair a deliberately mis-scaled map and no-op
+        on a healthy one."""
+        import map_store
+
+        from ppg_slam_tpu.estimator.ba import conformal_scale_refine
+
+        seq, tracking, wmap, est, states, lm = run_sequence
+        wm2 = map_store.get_map("straight")
+        I = np.eye(3, dtype=np.float32)
+        s_noop = conformal_scale_refine(wm2)
+        assert abs(s_noop - 1.0) < 0.05, s_noop
+        # collapse the map 2x and ask for repair: the full-objective line
+        # search must push the scale back up by a substantial factor
+        wm2.apply_scaled_rotation(I, 0.5, scale_vel=True)
+        s_fix = conformal_scale_refine(wm2)
+        assert s_fix > 1.3, (
+            f"conformal refine returned {s_fix:.3f} on a 0.5x-collapsed "
+            f"map — the scale net is blind again")
+
+    def test_small_transform_bounds(self):
+        """_small_transform gates the unconditional-apply bypass: tiny
+        annealing corrections pass, collapses and big rotations do not."""
+        from ppg_slam_tpu.geometry import so3
+        from ppg_slam_tpu.pipeline.tracking import _small_transform
+
+        I = np.eye(3, dtype=np.float32)
+        assert _small_transform(I, 1.03)
+        assert _small_transform(I, 0.96)
+        assert not _small_transform(I, 0.5)
+        assert not _small_transform(I, 1.2)
+        assert _small_transform(
+            so3.exp(np.float32([0.01, 0, 0])), 1.0)
+        assert not _small_transform(
+            so3.exp(np.float32([0.05, 0, 0])), 1.0)
+
     def test_threaded_mapper_ran_clean(self, run_sequence):
         """The fixture deployed the consumer-thread local mapper: it must
         have processed every keyframe without an exception and stopped
