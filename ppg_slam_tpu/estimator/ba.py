@@ -137,6 +137,48 @@ def _slot_layout(r_mp: np.ndarray, M: int):
     return rows, K, int(ov.sum())
 
 
+def _implicit_min_n() -> int:
+    """KF-bucket threshold above which the reduced-pose solve switches to
+    the implicit Schur path (solve_ba kfm=...): the dense W fold is
+    O(M * (N*6)^2) and measured 3.1/10.1/19.7 device-ms/iter at 64/128/200
+    KFs (r4 solver table), while the implicit matvecs are O(obs) per CG
+    iteration. Env override PPG_BA_IMPLICIT_MIN_N (tests force it low for
+    CPU-size equivalence coverage; a huge value disables)."""
+    import os
+
+    try:
+        return int(os.environ.get("PPG_BA_IMPLICIT_MIN_N", "128"))
+    except ValueError:
+        return 128
+
+
+def _kfm_layout(r_kf: np.ndarray, r_valid: np.ndarray, N: int):
+    """Kf-major observation permutation for the implicit Schur matvec:
+    returns (perm, mask) of shape (N*S,) with S = pow2(max obs per KF) —
+    perm[kf*S + j] indexes the j-th observation of keyframe kf in the
+    padded observation arrays, mask 0 marks empty slots (they point at row
+    0 and are multiplied out). Host-side numpy, O(obs)."""
+    r_kf = np.asarray(r_kf)
+    r_valid = np.asarray(r_valid)
+    idx = np.nonzero(r_valid)[0]
+    kfs = r_kf[idx]
+    counts = np.bincount(kfs, minlength=N) if len(idx) else np.zeros(
+        N, np.int64)
+    S = _pow2(int(counts.max()) if len(idx) else 1, lo=64)
+    order = np.argsort(kfs, kind="stable")
+    sorted_idx = idx[order]
+    sorted_kf = kfs[order]
+    starts = np.zeros(N, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    rank = np.arange(len(idx)) - starts[sorted_kf]
+    slot = sorted_kf.astype(np.int64) * S + rank
+    perm = np.zeros(N * S, np.int32)
+    mask = np.zeros(N * S, np.float32)
+    perm[slot] = sorted_idx.astype(np.int32)
+    mask[slot] = 1.0
+    return perm, mask
+
+
 def _sqrt_info_psd(M: np.ndarray) -> np.ndarray:
     """PSD-projected inverse square root used for whitening (the reference
     PSD-projects Info = C^-1, G2oEdge.cpp EdgeInertial ctor)."""
@@ -196,8 +238,19 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
         def _solve(st_, pts_, o, **kw):
             return solve_ba_sharded(st_, pts_, *args, o, mesh, **kw)
     else:
+        from .ba_core import _resolve_pose_cg
+
+        kfm = None
+        if slot_k and N >= _implicit_min_n():
+            kfm = _kfm_layout(prob.r_kf, prob.r_valid, N)
+
         def _solve(st_, pts_, o, **kw):
-            return solve_ba(st_, pts_, *args, o, slot_k=slot_k, **kw)
+            # the implicit path solves the reduced system by CG only —
+            # skip it for flavors that resolved to dense Cholesky
+            k2 = dict(kw)
+            if kfm is not None and _resolve_pose_cg(o.pose_cg_iters):
+                k2["kfm"] = kfm
+            return solve_ba(st_, pts_, *args, o, slot_k=slot_k, **k2)
     def _start_fetch(st, pts, info):
         """Enqueue the D2H of every array the host post-pass reads right
         after the solve dispatch — a late synchronous fetch serializes
@@ -837,8 +890,9 @@ def _conformal_best_scale(st, pts, prob, rig, opts, slot_k) -> float:
     -0.2% scale recovery in 100 exact-solve iterations on a 2.5x
     mis-scaled inertial map whose chi2(scale) sweep showed a clean 25%
     descent at the true scale). The mode is ONE-dimensional and chi2
-    along it is smooth, so three bracketed grid passes (one vmapped
-    device dispatch each) recover the optimum directly; reprojection is
+    along it is smooth, so three bracketed grid passes (one lax.map-scanned
+    device dispatch each — see _conformal_scan) recover the optimum
+    directly; reprojection is
     exactly invariant, the inertial terms pin the metric. The reference
     needs no equivalent: g2o solves the joint un-marginalized sparse
     system (setMarginalized(false), OptimizerGBA.cpp:92), which has no
@@ -932,10 +986,11 @@ def whole_map_transform_gain(wmap: Map, Rgw: np.ndarray,
     ScaleRefinement estimator applying a rotation+scale that exploded the
     whitened inertial chi2 from 2.6e4 to 2.1e8 (and a wrong ROTATION is
     unrepairable by any scale-only search). Returns (chi2_now, chi2_cand),
-    or (0.0, 0.0) when the map is too small to evaluate."""
+    or None when the map is too small to evaluate — callers must handle
+    None explicitly (the reference applies unconditionally there)."""
     g = _gather_full_problem(wmap)
     if g is None:
-        return 0.0, 0.0
+        return None
     states, points, prob, slot_k, _, _ = g
     rig = wmap.rig
     opts = BAOptions(reproj_kernel="huber")
@@ -968,8 +1023,8 @@ def conformal_scale_refine(wmap: Map) -> float:
     live corridor runs toward scale collapse (r4). This gathers the full
     visual-inertial residual set (the FIBA problem, no GN solve) and
     line-searches the one-dimensional conformal mode against the TOTAL
-    chi2 — a strictly better estimator of the same quantity, 3 vmapped
-    device dispatches. Applies the correction via ApplyScaledRotation and
+    chi2 — a strictly better estimator of the same quantity, 3
+    lax.map-scanned device dispatches. Applies the correction via ApplyScaledRotation and
     returns it (1.0 = map already scale-stationary)."""
     g = _gather_full_problem(wmap)
     if g is None:

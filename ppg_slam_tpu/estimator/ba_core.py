@@ -511,7 +511,8 @@ def _inv3x3(A):
 # ---------------------------------------------------------------------------
 
 def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
-                 opts: BAOptions, kf_dof, mp_free, axis=None, slot_k=0):
+                 opts: BAOptions, kf_dof, mp_free, axis=None, slot_k=0,
+                 materialize_w=True):
     """One linearization: whitened residuals, Jacobians, robust weights.
 
     Returns (total_chi2, assembled Hpp (N15, N15), b_p (N15,), Hll (M,3,3),
@@ -540,7 +541,8 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     b_p = jnp.zeros((n, DOF), dtype)
     Hll = jnp.zeros((m, 3, 3), dtype)
     b_l = jnp.zeros((m, 3), dtype)
-    W = jnp.zeros((m, 3, n * 6), dtype)  # pose columns only (see docstring)
+    # pose columns only (see docstring); never formed in implicit mode
+    W = (jnp.zeros((m, 3, n * 6), dtype) if materialize_w else None)
     chi2_sum = jnp.zeros((), dtype)
 
     dof_mask = kf_dof.astype(dtype)  # (N, 15)
@@ -599,7 +601,14 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
                     prob.r_mp, E_mp, slot_k)
     # W[m, i, n*6+k]: per-obs (3,6) block into its KF pose-column band
     Bw = sw * _outer_dd(Jx, Jk)                            # (O, 3, 6)
-    if slot_k:
+    if not materialize_w:
+        # implicit-Schur mode (large buckets): the dense W (M, 3, N*6) and
+        # its O(M * (N*6)^2) fold are never formed — solve_ba's implicit
+        # CG consumes the raw per-obs blocks directly (O(obs) matvecs via
+        # the landmark-major slot layout and a kf-major permutation).
+        # Bw already carries the robust weight and the free-DOF masks.
+        W = Bw
+    elif slot_k:
         # each landmark's K slots scatter only into that landmark's row of
         # W: an O(M x K x N) slot-sum replaces the flat path's
         # O(obs x M x N) assembly (the round-2 scaling bottleneck)
@@ -619,7 +628,7 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
             Gt = (E_slot[:, :, None, :, None]
                   * Bs[:, :, :, None, :]).sum(1)      # (M, 3, N, 6)
             W = W + Gt.reshape(m, 3, n * 6)
-    if slot_k == 0 or Bw.shape[0] > mk:
+    if materialize_w and (slot_k == 0 or Bw.shape[0] > mk):
         Bw_t = Bw if slot_k == 0 else Bw[mk:]
         r_kf_t = prob.r_kf if slot_k == 0 else prob.r_kf[mk:]
         r_mp_t = prob.r_mp if slot_k == 0 else prob.r_mp[mk:]
@@ -673,9 +682,13 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     # leaves a fraction of the enormous camera-only stiffness as SPURIOUS
     # curvature along vision-invariant modes — measured 9.5e6 vs a true 450
     # along the global-scale mode of a mis-scaled inertial map, freezing
-    # FIBA's metric-scale recovery entirely (r4 root cause). The solver
-    # folds with the visual-only block and applies Hll_col in the landmark
-    # back-substitution + preconditioner, where it belongs.
+    # FIBA's metric-scale recovery entirely (r4 root cause). NOTE: the
+    # solver still folds with Hll_r = Hll + Hll_col (solve_ba builds the
+    # coupled landmark operator once and uses it consistently in fold,
+    # back-substitution, and preconditioner — mixed models measured
+    # non-descent); the Hll/Hll_col split here exists for diagnostics and
+    # test introspection. The scale-mode cure is the conformal line search
+    # in ba.py, not this split.
     Hll_col = jnp.zeros((m, 3, 3), dtype)
     for a in range(3):
         Hll_col = _accum_into(Hll_col, Ec[a], prob.c_idx[:, a],
@@ -790,8 +803,15 @@ def _compute_all(states: KFStates, points, prob: BAProblem, cam, Rcb, tcb,
     Hpp = Hpp.reshape(n15, n15)
     b_p = b_p.reshape(n15)
     if axis is not None:
-        chi2_sum, Hpp, b_p, Hll, Hll_col, b_l, W = jax.lax.psum(
-            (chi2_sum, Hpp, b_p, Hll, Hll_col, b_l, W), axis)
+        if materialize_w:
+            chi2_sum, Hpp, b_p, Hll, Hll_col, b_l, W = jax.lax.psum(
+                (chi2_sum, Hpp, b_p, Hll, Hll_col, b_l, W), axis)
+        else:
+            # implicit mode keeps the per-obs blocks LOCAL to the shard —
+            # the matvecs psum their (M,3)/(N,6) results instead, shrinking
+            # the per-iteration collective from O(M*N) to O(M + N)
+            chi2_sum, Hpp, b_p, Hll, Hll_col, b_l = jax.lax.psum(
+                (chi2_sum, Hpp, b_p, Hll, Hll_col, b_l), axis)
     return chi2_sum, Hpp, b_p, Hll, Hll_col, b_l, W, coline_terms
 
 
@@ -877,7 +897,7 @@ def _chi2_only(states, points, prob, cam, Rcb, tcb, opts, axis=None,
 def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
              kf_dof: jax.Array, mp_free: jax.Array, Rcb: jax.Array,
              tcb: jax.Array, cam: CameraModel, opts: BAOptions,
-             axis: Optional[str] = None, slot_k: int = 0):
+             axis: Optional[str] = None, slot_k: int = 0, kfm=None):
     """Run `opts.iters` damped-GN iterations. Returns (states, points, info).
 
     info carries per-iteration chi2 for diagnostics, the final damping
@@ -890,11 +910,24 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
     CameraModel registration): every BA flavor, damping schedule, robust
     kernel choice and camera calibration shares one compiled program per
     (shape bucket, opts.adapt, opts.pcg_iters, cam.kind).
+
+    kfm: optional (perm, mask) kf-major observation layout (ba._kfm_layout)
+    switching the reduced-pose solve to the IMPLICIT Schur path: the dense
+    W (M, 3, N*6) and its O(M * (N*6)^2) fold are never formed; the CG
+    matvec applies W / W^T observation-wise in O(obs) via the landmark-
+    major slot layout and this kf-major permutation. Exact same reduced
+    system S (to float round-off), sub-quadratic in KF count — the r4
+    solver table measured the dense fold at 3.1/10.1/19.7 device-ms/iter
+    for 64/128/200 KFs (O(M N^2)). Requires slot_k > 0 and pose_cg_iters
+    > 0 (no Cholesky on an implicit operator).
     """
     n = states.R.shape[0]
     m = points.shape[0]
     n15 = n * DOF
     dtype = points.dtype
+    implicit = kfm is not None
+    if implicit:
+        assert slot_k > 0, "implicit Schur path requires the slot layout"
 
     dof_flat = kf_dof.reshape(-1)
 
@@ -902,7 +935,7 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
         states_c, points_c, lam, last_chi2 = carry
         chi2, Hpp, b_p, Hll, Hll_col, b_l, W, coline_terms = _compute_all(
             states_c, points_c, prob, cam, Rcb, tcb, opts, kf_dof, mp_free,
-            axis=axis, slot_k=slot_k)
+            axis=axis, slot_k=slot_k, materialize_w=not implicit)
 
         # Landmark-block solve operator: fixed-k damped-Jacobi polynomial
         # approximation of (Hll_r + C_full)^-1 — the coline-COUPLED
@@ -942,30 +975,99 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
         # (measured); whole-map inertial solves that must anneal the
         # monocular scale run a conformal line search around this solver
         # (estimator.ba.full_inertial_ba) to compensate.
-        HinvW = jnp.einsum("mij,mjp->mip", Hll_inv, W)       # (M, 3, N6)
-        S6 = jnp.einsum("mip,miq->pq", W, HinvW).reshape(n, 6, n, 6)
-        S = Hpp - jnp.pad(
-            S6, ((0, 0), (0, DOF - 6), (0, 0), (0, DOF - 6))).reshape(
-            n15, n15)
-        r6 = jnp.einsum("mip,mi->p", W,
-                        jnp.einsum("mij,mj->mi", Hll_inv, b_l))
-        rhs = b_p - jnp.pad(r6.reshape(n, 6),
-                            ((0, 0), (0, DOF - 6))).reshape(n15)
+        mask_f = (dof_flat > 0).astype(dtype)
+        if implicit:
+            # IMPLICIT Schur path (large buckets): never materialize W or
+            # S. W x and W^T t are applied observation-wise — the landmark
+            # side rides the slot-major layout ((M, K) gather + K-sum),
+            # the keyframe side the kf-major permutation ((N, S) gather +
+            # S-sum) — so each CG matvec costs O(obs), not O(M * (N6)^2).
+            # The operator equals the dense S exactly (same blocks, same
+            # damping/masking), only the evaluation order differs.
+            Bw = W  # (O, 3, 6) raw per-obs blocks from _compute_all
+            perm, pmask = kfm
+            mk = m * slot_k
+            kf_slots = prob.r_kf[:mk].reshape(m, slot_k)
+            Bs = Bw[:mk].reshape(m, slot_k, 3, 6)
+            has_tail = Bw.shape[0] > mk
+            E_mp_t = (_onehot(prob.r_mp[mk:], m, dtype) if has_tail
+                      else None)
+            Bw_kf = Bw[perm] * pmask[:, None, None]      # (N*S, 3, 6)
+            rmp_kf = prob.r_mp[perm]
+            s_slots = perm.shape[0] // n
 
-        # damping + fixed-DOF handling
-        S = S + lam * jnp.eye(n15, dtype=dtype)
-        S = jnp.where(dof_flat[:, None] * dof_flat[None, :] > 0, S, 0.0)
-        S = S + jnp.diag(jnp.where(dof_flat > 0, 0.0, 1.0))
+            def _w_x(x6):
+                # (N, 6) -> (M, 3): slot-major gather + K-reduction
+                out = jnp.einsum("mkij,mkj->mi", Bs, x6[kf_slots])
+                if has_tail:
+                    vt = jnp.einsum("oij,oj->oi", Bw[mk:],
+                                    x6[prob.r_kf[mk:]])
+                    out = _accum_into(out, E_mp_t, prob.r_mp[mk:], vt)
+                if axis is not None:
+                    out = jax.lax.psum(out, axis)
+                return out
 
-        if opts.pose_cg_iters and opts.pose_cg_iters > 0:
+            def _wt_t(t):
+                # (M, 3) -> (N, 6): kf-major gather + S-reduction
+                v = jnp.einsum("pij,pi->pj", Bw_kf, t[rmp_kf])
+                out = v.reshape(n, s_slots, 6).sum(1)
+                if axis is not None:
+                    out = jax.lax.psum(out, axis)
+                return out
+
+            r6 = _wt_t(jnp.einsum("mij,mj->mi", Hll_inv, b_l))
+            rhs = b_p - jnp.pad(r6, ((0, 0), (0, DOF - 6))).reshape(n15)
+
+            def S_mv(x):
+                xm = x * mask_f
+                y = Hpp @ xm + lam * xm
+                t = jnp.einsum("mij,mj->mi", Hll_inv,
+                               _w_x(xm.reshape(n, DOF)[:, :6]))
+                y = y - jnp.pad(_wt_t(t),
+                                ((0, 0), (0, DOF - 6))).reshape(n15)
+                return y * mask_f + (1.0 - mask_f) * x
+
+            # diag(S) for the Jacobi preconditioner, observation-wise:
+            # each (m, kf) pair holds at most one obs, so the fold's
+            # diagonal is a plain scatter of diag(Bw^T Hll_inv Bw)
+            dg = jnp.einsum("pai,pab,pbi->pi", Bw_kf, Hll_inv[rmp_kf],
+                            Bw_kf)
+            dfold = dg.reshape(n, s_slots, 6).sum(1)
+            if axis is not None:
+                dfold = jax.lax.psum(dfold, axis)
+            dS = (jnp.diagonal(Hpp) + lam
+                  - jnp.pad(dfold, ((0, 0), (0, DOF - 6))).reshape(n15))
+            d_inv = 1.0 / jnp.maximum(jnp.where(dof_flat > 0, dS, 1.0),
+                                      1e-12)
+        else:
+            HinvW = jnp.einsum("mij,mjp->mip", Hll_inv, W)   # (M, 3, N6)
+            S6 = jnp.einsum("mip,miq->pq", W, HinvW).reshape(n, 6, n, 6)
+            S = Hpp - jnp.pad(
+                S6, ((0, 0), (0, DOF - 6), (0, 0), (0, DOF - 6))).reshape(
+                n15, n15)
+            r6 = jnp.einsum("mip,mi->p", W,
+                            jnp.einsum("mij,mj->mi", Hll_inv, b_l))
+            rhs = b_p - jnp.pad(r6.reshape(n, 6),
+                                ((0, 0), (0, DOF - 6))).reshape(n15)
+
+            # damping + fixed-DOF handling
+            S = S + lam * jnp.eye(n15, dtype=dtype)
+            S = jnp.where(dof_flat[:, None] * dof_flat[None, :] > 0, S, 0.0)
+            S = S + jnp.diag(jnp.where(dof_flat > 0, 0.0, 1.0))
+
+            def S_mv(x):
+                return S @ x
+
+            if opts.pose_cg_iters and opts.pose_cg_iters > 0:
+                d_inv = 1.0 / jnp.maximum(jnp.diag(S), 1e-12)
+
+        if implicit or (opts.pose_cg_iters and opts.pose_cg_iters > 0):
             # Block-Jacobi PCG on the damped SPD reduced system: XLA's
             # dense Cholesky + two triangular solves are a sequential
             # custom-call (~3.2 ms/iter at 64 KFs, ~N^3) while tens of
-            # (N15,N15) matvecs are bandwidth-trivial. Early exit at 1e-6
+            # matvecs are bandwidth-trivial. Early exit at 1e-6
             # relative residual; the LM accept/reject loop absorbs any
             # residual inexactness.
-            d_inv = 1.0 / jnp.maximum(jnp.diag(S), 1e-12)
-
             def prec(x):
                 return x * d_inv
 
@@ -982,7 +1084,7 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
 
             def cg_body(c):
                 it, x, r_, z_, p_, rz = c
-                Sp = S @ p_
+                Sp = S_mv(p_)
                 alpha = rz / jnp.maximum(jnp.dot(p_, Sp), 1e-30)
                 x = x + alpha * p_
                 r_n = r_ - alpha * Sp
@@ -1006,7 +1108,10 @@ def solve_ba(states: KFStates, points: jax.Array, prob: BAProblem,
         # without a sparse factorization (the reference solves the full sparse
         # system instead; see module docstring).
         dx_p6 = dx_p.reshape(n, DOF)[:, :6].reshape(n * 6)
-        rhs_l = -(b_l + jnp.einsum("mip,p->mi", W, dx_p6))
+        if implicit:
+            rhs_l = -(b_l + _w_x(dx_p6.reshape(n, 6)))
+        else:
+            rhs_l = -(b_l + jnp.einsum("mip,p->mi", W, dx_p6))
         rc, Js, wc, Ec = coline_terms
 
         c_idx = prob.c_idx

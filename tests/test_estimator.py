@@ -619,6 +619,56 @@ class TestAssemblyPathEquivalence:
                                    np.asarray(info_f["obs_chi2"]),
                                    rtol=1e-2, atol=1e-2)
 
+    @pytest.mark.slow
+    def test_implicit_schur_matches_dense(self, monkeypatch):
+        """The implicit Schur path (kfm=...) must match the dense-W fold
+        through a full damped-GN run: same reduced system S, evaluated
+        matrix-free (O(obs) matvecs) instead of via the O(M*(N6)^2) fold.
+        Production gates it on large KF buckets (ba._implicit_min_n);
+        this covers the operator equality at CPU-test size."""
+        monkeypatch.setenv("PPG_FORCE_ONEHOT", "1")
+        from ppg_slam_tpu.estimator.ba import _kfm_layout
+
+        args = self._slot_problem(n_mp=42)
+        states, points, prob, kf_dof, mp_free, eye, z3, cam = args
+        opts = BAOptions(iters=6, lambda0=1e-2, tol=0.0, pose_cg_iters=64)
+        st_d, pts_d, info_d = solve_ba(*args, opts, slot_k=4)
+        perm, mask = _kfm_layout(np.asarray(prob.r_kf),
+                                 np.asarray(prob.r_valid),
+                                 int(states.R.shape[0]))
+        st_i, pts_i, info_i = solve_ba(
+            *args, opts, slot_k=4,
+            kfm=(jnp.asarray(perm), jnp.asarray(mask)))
+        np.testing.assert_allclose(np.asarray(pts_i), np.asarray(pts_d),
+                                   rtol=1e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(st_i.t), np.asarray(st_d.t),
+                                   rtol=1e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(info_i["final_chi2"]),
+                                   np.asarray(info_d["final_chi2"]),
+                                   rtol=1e-3)
+
+    def test_kfm_layout_invariants(self):
+        """_kfm_layout: every valid observation lands in exactly one slot
+        of its own keyframe's band; masked slots are dead."""
+        from ppg_slam_tpu.estimator.ba import _kfm_layout
+
+        r_kf = np.asarray([2, 0, 2, 1, 2, 0, 3, 2], np.int32)
+        r_valid = np.asarray([1, 1, 1, 1, 0, 1, 1, 1], bool)
+        N = 4
+        perm, mask = _kfm_layout(r_kf, r_valid, N)
+        S = len(perm) // N
+        assert S >= 4  # max count (kf 2 has 3 valid obs) -> pow2 floor
+        live = mask > 0
+        assert int(live.sum()) == int(r_valid.sum())
+        # each live slot points at a valid obs of the slot's keyframe
+        slots = np.nonzero(live)[0]
+        for s in slots:
+            o = perm[s]
+            assert r_valid[o]
+            assert r_kf[o] == s // S
+        # bijective over valid obs
+        assert len(set(perm[slots].tolist())) == len(slots)
+
     def test_slot_layout_assignment(self):
         """_slot_layout: bijective rows, first K per landmark slot-major,
         overflow appended as a flat tail."""
