@@ -889,6 +889,9 @@ def bench_solver_table():
     from ppg_slam_tpu.estimator import BAOptions, solve_ba
 
     rows = []
+    from ppg_slam_tpu.estimator.ba import _implicit_min_n, _kfm_layout
+    from ppg_slam_tpu.estimator.ba_core import _resolve_pose_cg
+
     for label, n_kf, n_mp, n_col in (("", 16, 1024, 512),
                                      ("", 32, 2048, 1024),
                                      ("", 64, 4096, 2048),
@@ -898,14 +901,25 @@ def bench_solver_table():
         args, slot_k = _make_ba_bucket(n_kf, n_mp, n_col=n_col, seed=3,
                                        free_from=1)
         n_obs = n_mp * slot_k
+        # production routing (ba._padded_solve): buckets at/above the
+        # implicit threshold run the O(obs)-matvec implicit Schur path —
+        # the dense W (M, 3, N*6) fold measured 3.1/10.1/19.7 ms/iter at
+        # 64/128/200 KFs in r4 (O(M N^2)); the table must show what the
+        # deployed solver does
+        kfm = None
+        if n_kf >= _implicit_min_n() and _resolve_pose_cg(None) > 0:
+            prob_b = args[2]
+            kfm = _kfm_layout(np.asarray(prob_b.r_kf),
+                              np.asarray(prob_b.r_valid), n_kf)
+            label = (label + "+implicit") if label else "implicit"
 
         def run_ms(it):
             o = BAOptions(iters=it, lambda0=1e-2, tol=0.0)
-            solve_ba(*args, o, slot_k=slot_k)  # warm/compile
+            solve_ba(*args, o, slot_k=slot_k, kfm=kfm)  # warm/compile
             ts = []
             for _ in range(5):
                 t0 = time.perf_counter()
-                _, _, info = solve_ba(*args, o, slot_k=slot_k)
+                _, _, info = solve_ba(*args, o, slot_k=slot_k, kfm=kfm)
                 float(np.asarray(info["final_chi2"]))
                 ts.append(time.perf_counter() - t0)
             return min(ts) * 1e3

@@ -115,15 +115,19 @@ def _use_slots() -> bool:
     return _use_onehot()
 
 
-def _slot_layout(r_mp: np.ndarray, M: int):
+def _slot_layout(r_mp: np.ndarray, M: int, K: int = None):
     """Slot-major observation placement: row = mp*K + rank for the first K
     observations of each landmark (K = pow2 of the max per-landmark count,
     4..32), overflow observations appended as a flat tail. Returns
-    (rows, slot_k, n_tail): rows[i] is the solver row of observation i."""
+    (rows, slot_k, n_tail): rows[i] is the solver row of observation i.
+    K may be forced (parallel/sharded_ba.py needs a COMMON slot count
+    across per-shard layouts); observations past rank K-1 overflow into
+    the tail either way."""
     n = len(r_mp)
     counts = np.bincount(r_mp, minlength=M) if n else np.zeros(M, np.int64)
     kmax = int(counts.max()) if n else 0
-    K = min(1 << max(2, (max(kmax, 1) - 1).bit_length()), 32)
+    if K is None:
+        K = min(1 << max(2, (max(kmax, 1) - 1).bit_length()), 32)
     order = np.argsort(r_mp, kind="stable")
     sorted_mp = r_mp[order]
     starts = np.zeros(M, np.int64)
@@ -152,19 +156,22 @@ def _implicit_min_n() -> int:
         return 128
 
 
-def _kfm_layout(r_kf: np.ndarray, r_valid: np.ndarray, N: int):
+def _kfm_layout(r_kf: np.ndarray, r_valid: np.ndarray, N: int,
+                S: int = None):
     """Kf-major observation permutation for the implicit Schur matvec:
     returns (perm, mask) of shape (N*S,) with S = pow2(max obs per KF) —
     perm[kf*S + j] indexes the j-th observation of keyframe kf in the
     padded observation arrays, mask 0 marks empty slots (they point at row
-    0 and are multiplied out). Host-side numpy, O(obs)."""
+    0 and are multiplied out). Host-side numpy, O(obs). S may be forced
+    (the sharded path needs a common S across per-shard layouts)."""
     r_kf = np.asarray(r_kf)
     r_valid = np.asarray(r_valid)
     idx = np.nonzero(r_valid)[0]
     kfs = r_kf[idx]
     counts = np.bincount(kfs, minlength=N) if len(idx) else np.zeros(
         N, np.int64)
-    S = _pow2(int(counts.max()) if len(idx) else 1, lo=64)
+    if S is None:
+        S = _pow2(int(counts.max()) if len(idx) else 1, lo=64)
     order = np.argsort(kfs, kind="stable")
     sorted_idx = idx[order]
     sorted_kf = kfs[order]
@@ -231,8 +238,10 @@ def _padded_solve(states: KFStates, points, prob, kf_dof, mp_free, rig,
     args = (prob, np.asarray(kf_dof), np.asarray(mp_free),
             rig.Rcb, rig.tcb, rig.cam)
     if mesh is not None:
-        # the sharded solver treats the problem as flat — a slot-major
-        # layout is a valid flat layout, so no slot_k is threaded through
+        # the incoming (slot-major or flat) layout is treated as flat; the
+        # sharded solver re-lays-out observations per shard itself when the
+        # KF bucket warrants the implicit Schur path (solve_ba_sharded
+        # implicit=None auto-routing)
         from ..parallel.sharded_ba import solve_ba_sharded
 
         def _solve(st_, pts_, o, **kw):

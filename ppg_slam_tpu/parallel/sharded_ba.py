@@ -12,9 +12,14 @@ results bit-for-bit-modulo-reduction-order (tests/test_parallel.py).
 
 Sharding layout: KF states / landmarks / masks replicate (the pose-state
 dimension is small); each BAProblem residual family shards on its leading
-(observation) dimension, the axis that grows with map size. Communication per
-iteration is O(N15^2 + M landmark blocks + W cross blocks), independent of
-observation count — the psum rides ICI.
+(observation) dimension, the axis that grows with map size. For small KF
+buckets the dense-W reduced solve psums O(N15^2 + M landmark blocks + W
+cross blocks) per iteration; at/above ba._implicit_min_n() KFs the solver
+switches to the IMPLICIT Schur path (`_shard_obs_layout`): each shard's
+local observation block is rebuilt as its own slot-major layout + kf-major
+permutation, the CG matvecs stay shard-local, and the per-iteration
+collective shrinks to the matvecs' (M, 3)/(N, 6) results — O(M + N),
+independent of both observation count AND the dense W footprint.
 
 Entry: `estimator.ba.global_bundle_adjustment(..., mesh=)` /
 `full_inertial_ba(..., mesh=)` route here; `solve_ba_sharded` is the direct
@@ -76,45 +81,166 @@ def pad_problem_for_mesh(prob: BAProblem, n_dev: int) -> BAProblem:
     return BAProblem(**out)
 
 
-@functools.lru_cache(maxsize=4)
-def _sharded_solver(mesh: Mesh):
-    """One jitted shard_map solver per mesh: camera and options travel as
-    replicated pytree args (runtime leaves), so every BA flavor/calibration
-    shares this single program per shape bucket."""
+@functools.lru_cache(maxsize=8)
+def _sharded_solver(mesh: Mesh, slot_k: int = 0):
+    """One jitted shard_map solver per (mesh, slot_k): camera and options
+    travel as replicated pytree args (runtime leaves), so every BA flavor/
+    calibration shares this single program per shape bucket.
+
+    slot_k == 0: flat layout, dense-W reduced solve (W psums per iter —
+    fine for small KF buckets). slot_k > 0: IMPLICIT Schur — each shard's
+    local observation block is a valid slot-major layout (built by
+    `_shard_obs_layout`) and the per-shard kf-major permutation rides two
+    extra sharded args; the per-iteration collective shrinks from the
+    dense W (M, 3, N*6) to the matvecs' (M, 3)/(N, 6) psums."""
     rep = P()
     shd = P(AXIS)
     prob_spec = BAProblem(**{k: shd for k in BAProblem._fields})
     st_spec = KFStates(rep, rep, rep, rep, rep)
     info_spec = dict(chi2_hist=rep, final_chi2=rep, lam=rep, iters_run=rep,
                      obs_chi2=shd, obs_depth=shd)
-    in_specs = (st_spec, rep, prob_spec, rep, rep, rep, rep, rep, rep)
 
-    def body(states, points, prob, kf_dof, mp_free, Rcb, tcb, cam, opts):
-        return solve_ba(states, points, prob, kf_dof, mp_free, Rcb, tcb,
-                        cam, opts, axis=AXIS)
+    if slot_k:
+        in_specs = (st_spec, rep, prob_spec, rep, rep, rep, rep, shd, shd,
+                    rep, rep)
+
+        def body(states, points, prob, kf_dof, mp_free, Rcb, tcb, perm,
+                 pmask, cam, opts):
+            return solve_ba(states, points, prob, kf_dof, mp_free, Rcb,
+                            tcb, cam, opts, axis=AXIS, slot_k=slot_k,
+                            kfm=(perm, pmask))
+    else:
+        in_specs = (st_spec, rep, prob_spec, rep, rep, rep, rep, rep, rep)
+
+        def body(states, points, prob, kf_dof, mp_free, Rcb, tcb, cam,
+                 opts):
+            return solve_ba(states, points, prob, kf_dof, mp_free, Rcb,
+                            tcb, cam, opts, axis=AXIS)
 
     fn = shard_map(body, mesh=mesh, in_specs=in_specs,
                    out_specs=(st_spec, rep, info_spec))
     return jax.jit(fn)
 
 
+def _shard_obs_layout(prob: BAProblem, n_dev: int, M: int, N: int):
+    """Per-shard slot-major relayout of the reprojection family (host numpy).
+
+    Rebuilds the O family as n_dev equal blocks of M*K + T rows — each
+    block itself a valid slot-major layout (ba._slot_layout) over that
+    shard's observations, with a flat overflow tail — plus per-shard
+    kf-major permutations (ba._kfm_layout) whose indices are LOCAL to the
+    block, so inside shard_map every gather in solve_ba's implicit Schur
+    matvec stays shard-local and only the (M, 3)/(N, 6) matvec results
+    psum. Each landmark's observations are spread round-robin across
+    shards, so the common slot count K ~= pow2(ceil(max obs per landmark /
+    n_dev)).
+
+    Returns (r_kf, r_mp, r_uv, r_valid, perm, pmask, K, rowmap) where
+    rowmap[i] = new GLOBAL row of input observation i (-1 for invalid
+    rows) — used to return per-obs solve stats in the caller's layout."""
+    from ..estimator.ba import _kfm_layout, _pow2, _slot_layout
+
+    r_kf = np.asarray(prob.r_kf)
+    r_mp = np.asarray(prob.r_mp)
+    r_uv = np.asarray(prob.r_uv)
+    r_val = np.asarray(prob.r_valid)
+    idx = np.nonzero(r_val)[0]
+    # round-robin within landmark-sorted order: per-shard per-landmark
+    # counts become ~ceil(count / n_dev), minimizing the common K
+    idx = idx[np.argsort(r_mp[idx], kind="stable")]
+    groups = [idx[g::n_dev] for g in range(n_dev)]
+
+    kmax = 1
+    for g in groups:
+        if len(g):
+            kmax = max(kmax, int(np.bincount(r_mp[g], minlength=M).max()))
+    K = min(1 << max(2, (kmax - 1).bit_length()), 32)
+    rows_g, tmax, smax = [], 0, 1
+    for g in groups:
+        rows, _, n_tail = _slot_layout(r_mp[g], M, K=K)
+        rows_g.append(rows)
+        tmax = max(tmax, n_tail)
+        if len(g):
+            smax = max(smax, int(np.bincount(r_kf[g], minlength=N).max()))
+    T = _pow2(tmax, lo=16) if tmax else 0
+    O_local = M * K + T
+    S = _pow2(smax, lo=64)
+
+    new_kf = np.zeros((n_dev, O_local), np.int32)
+    # slot-region r_mp must be row//K (the solver's slot gathers assume
+    # it); tail rows default to 0 and are masked by r_valid
+    new_mp = np.zeros((n_dev, O_local), np.int32)
+    new_mp[:, : M * K] = (np.arange(M * K, dtype=np.int64) // K)
+    new_uv = np.zeros((n_dev, O_local, 2), np.float32)
+    new_val = np.zeros((n_dev, O_local), bool)
+    rowmap = np.full(r_val.shape[0], -1, np.int64)
+    perms, masks = [], []
+    for gi, (g, rows) in enumerate(zip(groups, rows_g)):
+        new_kf[gi][rows] = r_kf[g]
+        new_mp[gi][rows] = r_mp[g]
+        new_uv[gi][rows] = r_uv[g]
+        new_val[gi][rows] = True
+        rowmap[g] = gi * O_local + rows
+        p, pm = _kfm_layout(new_kf[gi], new_val[gi], N, S=S)
+        perms.append(p)
+        masks.append(pm)
+    return (new_kf.reshape(-1), new_mp.reshape(-1),
+            new_uv.reshape(-1, 2), new_val.reshape(-1),
+            np.concatenate(perms), np.concatenate(masks), K, rowmap)
+
+
 def solve_ba_sharded(states: KFStates, points, prob: BAProblem, kf_dof,
                      mp_free, Rcb, tcb, cam: CameraModel, opts: BAOptions,
-                     mesh: Mesh):
+                     mesh: Mesh, implicit: Optional[bool] = None):
     """solve_ba over a device mesh: identical signature/semantics, residual
-    families sharded on the mesh's first axis, states replicated."""
+    families sharded on the mesh's first axis, states replicated.
+
+    implicit: None = auto — route the reduced-pose solve through the
+    IMPLICIT Schur path (per-shard slot-major relayout, O(M+N) psums per
+    CG matvec instead of the dense W (M, 3, N*6) every iteration) when the
+    KF bucket is at/above ba._implicit_min_n() and the pose solve resolves
+    to CG. True/False forces. Per-obs info stats (obs_chi2 / obs_depth)
+    are returned in the CALLER's observation-row order either way."""
+    from ..estimator.ba import _implicit_min_n
+    from ..estimator.ba_core import _resolve_pose_cg
+
     n_dev = int(np.prod(list(mesh.shape.values())))
-    prob = pad_problem_for_mesh(prob, n_dev)
+    if implicit is None:
+        implicit = (states.R.shape[0] >= _implicit_min_n()
+                    and _resolve_pose_cg(opts.pose_cg_iters) > 0)
     shard = NamedSharding(mesh, P(AXIS))
     rep = NamedSharding(mesh, P())
+    put = lambda a: jax.device_put(jnp.asarray(a), rep)
+    kfm_args = ()
+    K = 0
+    rowmap = None
+    if implicit:
+        (o_kf, o_mp, o_uv, o_val, perm, pmask, K, rowmap) = \
+            _shard_obs_layout(prob, n_dev, points.shape[0],
+                              states.R.shape[0])
+        prob = prob._replace(
+            r_kf=jnp.asarray(o_kf), r_mp=jnp.asarray(o_mp),
+            r_uv=jnp.asarray(o_uv), r_valid=jnp.asarray(o_val))
+        kfm_args = (jax.device_put(jnp.asarray(perm), shard),
+                    jax.device_put(jnp.asarray(pmask), shard))
+    prob = pad_problem_for_mesh(prob, n_dev)
     prob = BAProblem(**{k: jax.device_put(getattr(prob, k), shard)
                         for k in BAProblem._fields})
     states = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), rep),
                           states)
-    put = lambda a: jax.device_put(jnp.asarray(a), rep)
-    solver = _sharded_solver(mesh)
-    return solver(states, put(points), prob, put(kf_dof), put(mp_free),
-                  put(Rcb), put(tcb), cam, opts)
+    solver = _sharded_solver(mesh, K)
+    st, pts, info = solver(states, put(points), prob, put(kf_dof),
+                           put(mp_free), put(Rcb), put(tcb), *kfm_args,
+                           cam, opts)
+    if rowmap is not None:
+        # per-obs stats back to the caller's row order (invalid rows get
+        # inert values; callers only read rows behind their obs_pos maps)
+        rm = jnp.asarray(np.maximum(rowmap, 0))
+        live = jnp.asarray(rowmap >= 0)
+        info = dict(info,
+                    obs_chi2=jnp.where(live, info["obs_chi2"][rm], 0.0),
+                    obs_depth=jnp.where(live, info["obs_depth"][rm], 1.0))
+    return st, pts, info
 
 
 # ---------------------------------------------------------------------------
@@ -220,13 +346,20 @@ def make_vi_problem(n_kf=6, n_mp=128, n_obs=256, n_col=32, seed=0,
 def dryrun_sharded_ba_step(mesh: Mesh) -> None:
     """Compile + run the FULL sharded VI solver (reprojection + colines +
     inertial + walks + priors, damped LM loop) on tiny shapes (driver dry
-    run)."""
+    run) — both the dense-W layout and the implicit-Schur per-shard slot
+    layout (the large-bucket production route)."""
     cam, states, points, prob, kf_dof, mp_free = make_vi_problem()
+    eye = jnp.eye(3, dtype=jnp.float32)
+    z3 = jnp.zeros(3, jnp.float32)
     opts = BAOptions(iters=2, lambda0=1e-2)
-    st, pts, info = solve_ba_sharded(
-        states, points, prob, kf_dof, mp_free,
-        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
-        cam, opts, mesh)
+    st, pts, info = solve_ba_sharded(states, points, prob, kf_dof, mp_free,
+                                     eye, z3, cam, opts, mesh)
     jax.block_until_ready((st, pts))
     chi2 = np.asarray(info["chi2_hist"])
     assert np.isfinite(chi2).all()
+    opts_i = BAOptions(iters=2, lambda0=1e-2, pose_cg_iters=32)
+    st, pts, info = solve_ba_sharded(states, points, prob, kf_dof, mp_free,
+                                     eye, z3, cam, opts_i, mesh,
+                                     implicit=True)
+    jax.block_until_ready((st, pts))
+    assert np.isfinite(np.asarray(info["chi2_hist"])).all()

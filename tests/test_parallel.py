@@ -78,6 +78,58 @@ class TestShardedEqualsSingle:
         np.testing.assert_allclose(np.asarray(pts_s), np.asarray(pts_r),
                                    atol=1e-3)
 
+    def test_implicit_sharded_equals_single(self):
+        """The IMPLICIT sharded path (per-shard slot-major relayout,
+        O(M+N) psums — VERDICT r4 #5) must reproduce the single-device
+        dense solve: same chi2 trajectory, same states, and per-obs stats
+        re-gathered to the caller's observation order."""
+        from ppg_slam_tpu.parallel.sharded_ba import _shard_obs_layout
+
+        cam, states, points, prob, kf_dof, mp_free = make_vi_problem(
+            n_kf=12, n_mp=256, n_obs=1024, n_col=32, seed=3)
+        # pose CG forced on (the implicit operator has no Cholesky route)
+        opts = BAOptions(iters=3, lambda0=1e-2, tol=0.0, pose_cg_iters=96)
+        eye = jnp.eye(3, dtype=jnp.float32)
+        z3 = jnp.zeros(3, jnp.float32)
+        ref = solve_ba(states, points, prob, kf_dof, mp_free, eye, z3,
+                       cam, opts)
+        shd = solve_ba_sharded(states, points, prob, kf_dof, mp_free, eye,
+                               z3, cam, opts, _mesh(8), implicit=True)
+        (st_r, pts_r, info_r), (st_s, pts_s, info_s) = ref, shd
+        hist = np.asarray(info_r["chi2_hist"])
+        assert hist[-1] < hist[0] * 0.5
+        np.testing.assert_allclose(np.asarray(info_s["chi2_hist"]), hist,
+                                   rtol=1e-4)
+        # CG reduction-order noise accumulates over ~100 matvecs along
+        # low-curvature directions; chi2 agreement above pins convergence
+        np.testing.assert_allclose(np.asarray(st_s.t), np.asarray(st_r.t),
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(pts_s), np.asarray(pts_r),
+                                   atol=2e-3)
+        valid = np.asarray(prob.r_valid)
+        np.testing.assert_allclose(
+            np.asarray(info_s["obs_chi2"])[valid],
+            np.asarray(info_r["obs_chi2"])[valid], atol=1e-2)
+        # the relayout itself must be a permutation: every valid input obs
+        # lands on exactly one new row carrying its (kf, mp, uv)
+        o_kf, o_mp, o_uv, o_val, perm, pmask, K, rowmap = \
+            _shard_obs_layout(prob, 8, points.shape[0], states.R.shape[0])
+        live = rowmap >= 0
+        assert int(live.sum()) == int(valid.sum())
+        rows = rowmap[live]
+        assert len(np.unique(rows)) == len(rows)
+        np.testing.assert_array_equal(o_kf[rows],
+                                      np.asarray(prob.r_kf)[live])
+        np.testing.assert_array_equal(o_mp[rows],
+                                      np.asarray(prob.r_mp)[live])
+        assert o_val[rows].all()
+        # slot region r_mp is row//K within each shard block
+        O_local = len(o_kf) // 8
+        blk = o_mp[:O_local]
+        M = points.shape[0]
+        np.testing.assert_array_equal(
+            blk[: M * K], np.arange(M * K, dtype=np.int64) // K)
+
     def test_pad_problem_for_mesh(self):
         _, _, _, prob, _, _ = make_vi_problem(n_kf=4, n_mp=16, n_obs=37,
                                               n_col=5)
