@@ -1193,6 +1193,15 @@ def _render_loop_euroc(n_frames=280, seed=7, L=8.0):
     T = (n_frames - 1) / fps
     g = np.float32([0.0, 9.81, 0.0])
 
+    def _noise_tex(r, tw, thh):
+        t1 = cv2.resize(r.randint(0, 255, (thh // 8, tw // 8)).astype(
+            np.uint8), (tw, thh), interpolation=cv2.INTER_CUBIC)
+        t2 = cv2.resize(r.randint(0, 255, (thh // 32, tw // 32)).astype(
+            np.uint8), (tw, thh), interpolation=cv2.INTER_CUBIC)
+        return np.clip(110.0 + (t1.astype(np.float32) - 127.0) * 0.18
+                       + (t2.astype(np.float32) - 127.0) * 0.25, 0,
+                       255).astype(np.uint8)
+
     def _make_wall(z_w, wseed):
         r = np.random.RandomState(wseed)
         segs, vals = [], []
@@ -1217,19 +1226,52 @@ def _render_loop_euroc(n_frames=280, seed=7, L=8.0):
         wx0, wy0 = -4.5, -2.4
         tw = int((L + 5.5 - wx0) * s)
         thh = int((2.4 - wy0) * s)
-        t1 = cv2.resize(r.randint(0, 255, (thh // 8, tw // 8)).astype(
-            np.uint8), (tw, thh), interpolation=cv2.INTER_CUBIC)
-        t2 = cv2.resize(r.randint(0, 255, (thh // 32, tw // 32)).astype(
-            np.uint8), (tw, thh), interpolation=cv2.INTER_CUBIC)
-        tex = np.clip(110.0 + (t1.astype(np.float32) - 127.0) * 0.18
-                      + (t2.astype(np.float32) - 127.0) * 0.25, 0,
-                      255).astype(np.uint8)
+        tex = _noise_tex(r, tw, thh)
         Btex = np.array([[1.0 / s, 0, wx0], [0, 1.0 / s, wy0],
                          [0, 0, z_w]])
-        return segs, vals, tex, Btex
+        return segs, vals, tex, Btex, np.array([L / 2, 0.0, z_w])
 
-    wallA = _make_wall(+6.0, seed + 11)
-    wallB = _make_wall(-6.0, seed + 23)
+    def _make_end_wall(x_w, wseed):
+        """Perpendicular END wall in the plane x = x_w, spanning the full
+        corridor depth z in [-6, 6]: the 180-deg yaw turns sweep the camera
+        through viewing directions ALONG the corridor axis, where the two
+        side walls are edge-on and featureless — without end structure any
+        SLAM system loses tracking mid-turn (r5 live capture: both turns
+        went RECENTLY_LOST, KF creation froze, 0 loops possible). Same
+        bar/texture construction as the side walls, mapped by an affine
+        plane chart world = (x_w, ty/s + wy0, tx/s + wz0)."""
+        r = np.random.RandomState(wseed)
+        segs, vals = [], []
+        z = -5.8
+        while z < 5.8:
+            tilt = r.uniform(-0.35, 0.35)
+            segs.append(((x_w, -1.8, z), (x_w, 1.8, z + tilt)))
+            vals.append(int(r.randint(170, 255)))
+            z += r.uniform(0.35, 0.95)
+        for y in np.linspace(-1.8, 1.8, 10):
+            dy = r.uniform(-0.15, 0.15)
+            segs.append(((x_w, y, -6.0), (x_w, y + dy, 6.0)))
+            vals.append(int(r.randint(170, 255)))
+        sgn = 1.0 if x_w > 0 else -1.0
+        for zc in np.arange(-5.0, 5.0, 0.35):
+            p = np.array([0, 0, zc]) + r.uniform(
+                [sgn * 0.2, -1.5, -0.4],
+                [sgn * 1.2, 1.5, 0.4]) + np.array([x_w - sgn * 1.4, 0, 0])
+            q = p + r.uniform([-0.3, -1.0, -1.0], [0.3, 1.0, 1.0])
+            segs.append((tuple(p), tuple(q)))
+            vals.append(int(r.randint(170, 255)))
+        s = 96.0
+        wz0, wy0 = -6.2, -2.4
+        tw = int((6.2 - wz0) * s)
+        thh = int((2.4 - wy0) * s)
+        tex = _noise_tex(r, tw, thh)
+        Btex = np.array([[0.0, 0.0, x_w], [0.0, 1.0 / s, wy0],
+                         [1.0 / s, 0.0, wz0]])
+        return segs, vals, tex, Btex, np.array([x_w, 0.0, 0.0])
+
+    walls = (_make_wall(+6.0, seed + 11), _make_wall(-6.0, seed + 23),
+             _make_end_wall(L + 4.5, seed + 37),
+             _make_end_wall(-4.5, seed + 41))
 
     # trajectory: p_x = L/2 (1 - cos(2 pi t / T)) (out and back, smooth);
     # 180-deg yaw at mid-course and back near the end; the same 3-axis
@@ -1244,8 +1286,11 @@ def _render_loop_euroc(n_frames=280, seed=7, L=8.0):
         -by * wy * wy * np.sin(wy * tm),
         -bz * wz * wz * np.sin(wz * tm)])
 
-    tau = 0.4
-    t_turn2 = T - 1.8
+    # tau=0.4 peaked the turn at 225 deg/s — harsher than any EuRoC/TUM-VI
+    # motion and fast enough that the whole turn fit between two keyframes;
+    # 0.7 (~130 deg/s peak, ~2.5 s per turn) is a brisk handheld turn
+    tau = 0.7
+    t_turn2 = T - 2.2
 
     def dyaw(tm):
         s1 = 1.0 / np.cosh((tm - T / 2) / tau) ** 2
@@ -1291,8 +1336,10 @@ def _render_loop_euroc(n_frames=280, seed=7, L=8.0):
         Rcw = Rwb_k.T.astype(np.float64)
         tcw = (-Rcw @ twb_k).astype(np.float64)
         img = np.full((cam.height, cam.width), 110, np.uint8)
-        for segs, vals, tex, Btex in (wallA, wallB):
-            centre = Rcw @ np.array([L / 2, 0.0, Btex[2, 2]]) + tcw
+        # painter's order: side walls first, end walls last (when an end
+        # wall is in view it is the nearer surface)
+        for segs, vals, tex, Btex, wcentre in walls:
+            centre = Rcw @ wcentre + tcw
             if centre[2] < 1.5:
                 continue
             M = Rcw @ Btex
@@ -1397,9 +1444,10 @@ def bench_e2e_loop(n_frames=280):
             tracking.grab_imu(rows)
         tracking.grab_image(img, t)
         times.append(time.perf_counter() - t0)
-        if k % 40 == 39:  # supervisor heartbeat (420 s silence kill)
+        if k % 20 == 19:  # supervisor heartbeat (420 s silence kill)
             log(f"  [e2e-loop: frame {k + 1}/{len(frames)}, "
-                f"kfs={wmap.n_keyframes()}, loops={lc.n_loops_closed}]")
+                f"kfs={wmap.n_keyframes()}, loops={lc.n_loops_closed}, "
+                f"state={tracking.state}, inl={tracking.matches_inliers}]")
     lm.stop()
     lc.poll_gba(wait=True)
     ok = tracking.state == OK and wmap.imu_initialized
@@ -1564,6 +1612,100 @@ def bench_e2e_live(n_frames=160, batch=8):
             (dpf_s, dpf_a, dpf_f), (sa_s, sa_a, sa_f))
 
 
+def _distort_frames(frames, cam):
+    """Resample clean pinhole renders into DISTORTED images: each distorted
+    pixel reads the clean render at its undistorted position (the exact
+    inverse of the extractor's undistortion remap, so the round trip is
+    geometrically consistent). A world point X with pinhole projection u
+    in the clean render appears at the distorted pixel d with
+    undistort(d) = u — i.e. exactly where a real radtan camera with this
+    calibration would image it (lines curve, the FOV edge compresses)."""
+    import cv2
+
+    h, w = cam.height, cam.width
+    uu, vv = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    pts = np.stack([uu.reshape(-1), vv.reshape(-1)], 1)[:, None, :]
+    K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]],
+                 np.float32)
+    und = cv2.undistortPoints(pts, K, np.asarray(cam.dist, np.float32),
+                              P=K).reshape(h, w, 2)
+    mapx = np.ascontiguousarray(und[..., 0])
+    mapy = np.ascontiguousarray(und[..., 1])
+    return [cv2.remap(f, mapx, mapy, cv2.INTER_LINEAR,
+                      borderMode=cv2.BORDER_CONSTANT, borderValue=110)
+            for f in frames]
+
+
+def bench_e2e_distorted(n_frames=100):
+    """Live e2e with the EuRoC radtan DISTORTED camera (VERDICT r4 #8):
+    undistortion remap + keypoint undistortion + inertial tracking proven
+    TOGETHER on device. Same wireframe corridor + IMU as bench_e2e_live;
+    the renders are resampled through the exact radtan distortion
+    (config/EuRoC.yaml calibration, PPGExtractor.cpp:208-263 handles the
+    inverse on-device). Serial config, one pass; reports (ms/frame, ok,
+    kfs, ate, s_align, events, state transitions)."""
+    from ppg_slam_tpu.frontend import PPGExtractor
+    from ppg_slam_tpu.geometry.cameras import CAM_PINHOLE, CameraModel
+    from ppg_slam_tpu.pipeline.local_mapping import LocalMapping
+    from ppg_slam_tpu.pipeline.tracking import OK, Tracking
+    from ppg_slam_tpu.utils.evaluation import align_and_ate
+    from ppg_slam_tpu.worldmap import Map, Rig, reset_ids
+
+    cam = CameraModel(
+        kind=CAM_PINHOLE, fx=458.654, fy=457.296, cx=367.215, cy=248.375,
+        dist=(-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05),
+        width=752, height=480)
+    frames, gt_poses, imu = _render_wireframe_euroc(n_frames)
+    frames = _distort_frames(frames, cam)
+
+    reset_ids()
+    ex = PPGExtractor(cam, desc_transfer="device", compute_dtype="bf16")
+    rig = Rig(cam, freq=200.0, noise_gyro=E2E_NOISE_GYRO,
+              noise_acc=E2E_NOISE_ACC)
+    wmap = Map(rig)
+    Map.imu_ini_time = 4.0
+    tracking = Tracking(wmap, ex)
+    tracking.local_mapper = LocalMapping(wmap, tracking=tracking)
+    times = []
+    last_t = -1.0
+    for k, img in enumerate(frames):
+        t0 = time.perf_counter()
+        t = k * 0.05
+        rows = imu[(imu[:, 6] > last_t) & (imu[:, 6] <= t + 1e-9)]
+        last_t = t
+        if len(rows):
+            tracking.grab_imu(rows)
+        tracking.grab_image(img, t)
+        times.append(time.perf_counter() - t0)
+        if k % 40 == 39:
+            log(f"  [e2e-distorted: frame {k + 1}/{len(frames)}, "
+                f"kfs={wmap.n_keyframes()}]")
+    ok = tracking.state == OK and wmap.imu_initialized
+    est_kf, gt_kf = [], []
+    for kf in sorted((k for k in wmap.all_keyframes() if not k.is_bad()),
+                     key=lambda k: k.timestamp):
+        idx = int(round(kf.timestamp / 0.05))
+        if 0 <= idx < len(gt_poses):
+            est_kf.append(kf.camera_center())
+            Rcw, tcw = gt_poses[idx]
+            gt_kf.append(-Rcw.T @ tcw)
+    if len(est_kf) >= 8:
+        res = align_and_ate(np.asarray(est_kf), np.asarray(gt_kf),
+                            with_scale=True)
+        ate, s_align = res.rmse, res.scale
+    else:
+        ate, s_align = float("nan"), float("nan")
+    events = [(e["kind"], round(e["t"], 2), round(e["scale"], 3),
+               "applied" if e.get("applied") else "refused")
+              for e in tracking.init_events]
+    st_events = [(round(e["t"], 2) if e["t"] is not None else None,
+                  f"{e['from_state']}->{e['to_state']}")
+                 for e in tracking.state_events]
+    return (float(np.mean(times[10:])) * 1e3, ok, wmap.n_keyframes(), ate,
+            s_align, events, st_events)
+
+
 def main() -> None:
     fe = bench_frontend()
     log(f"front-end (batch-32 pipelined, bf16, device descs + KF-rate i8 "
@@ -1649,6 +1791,15 @@ def main() -> None:
             f"scale events: {lev}; state transitions: {l_stev}")
     except Exception as e:
         log(f"e2e loop-closure bench skipped: {type(e).__name__}: {e}")
+    try:
+        (dms, dok, dkfs, date, dsal, dev, dstev) = bench_e2e_distorted()
+        log(f"e2e live DISTORTED-camera run (EuRoC radtan calibration, "
+            f"renders resampled through the exact distortion; serial "
+            f"config): {dms:.1f} ms/frame, ok={dok}, kfs={dkfs}, "
+            f"KF-ATE={date:.3f} m, metric s_align={dsal:.3f}; scale "
+            f"events: {dev}; state transitions: {dstev}")
+    except Exception as e:
+        log(f"e2e distorted-camera bench skipped: {type(e).__name__}: {e}")
 
     # composite charges the STEADY-STATE per-frame optimizer (the inertial
     # 2-frame filter, which replaces the visual-only pose opt once the IMU
