@@ -1024,7 +1024,8 @@ def whole_map_transform_gain(wmap: Map, Rgw: np.ndarray,
     return c0, c1
 
 
-def conformal_scale_refine(wmap: Map) -> float:
+def conformal_scale_refine(wmap: Map, lo: float = 0.5,
+                           hi: float = 2.0) -> float:
     """Full-objective global-scale correction for a live inertial map: the
     closed-form ScaleRefinement estimator (velocities held fixed,
     OptimizerInertial.cpp:29-152) is attenuation-biased when per-link
@@ -1048,6 +1049,14 @@ def conformal_scale_refine(wmap: Map) -> float:
     # the estimator's own noise and repeatedly churning the whole map by
     # them measurably destabilized downstream place recognition
     if abs(s - 1.0) <= 0.01:
+        return 1.0
+    # ... and only BOUNDED ones (r5): a live loop-corridor run captured
+    # this path applying 0.25x while tracking was coasting lost — at that
+    # point the objective itself is contaminated (attenuation bias + stale
+    # map) and a >2x "correction" is evidence of estimator degeneracy,
+    # not of a 2x metric error. Refuse outside [lo, hi]; repeated in-band
+    # anneal steps still reach any genuinely mis-scaled optimum.
+    if not (lo <= s <= hi):
         return 1.0
     wmap.apply_scaled_rotation(np.eye(3, dtype=np.float32), s,
                                scale_vel=True)

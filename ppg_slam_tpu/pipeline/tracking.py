@@ -67,6 +67,19 @@ def _sqrtm_psd_np(H):
 
 
 class Tracking:
+    # Minimum IMU-data span (s) before the FIRST closed-form inertial init
+    # runs (reference floor: 2.0 s, Tracking.cpp:1503). The first init
+    # applies its scale UNCONDITIONALLY (the monocular map has no metric
+    # scale yet — reference semantics), so its quality is decided entirely
+    # by this window's excitation-vs-noise ratio: r5 live loop-corridor
+    # captures measured first-init scales of 0.427/0.715/0.736 with the
+    # 2 s floor (each one seeding an unrecoverable collapse once the IMU
+    # coast hit a turn) vs 0.996+ on windows whose accel curvature spans
+    # a full excitation period. Rigs/benches with soft early excitation
+    # should raise this the same way the reference's per-dataset IniTime
+    # (5-10 s, config/*.yaml) tunes the VIBA1 schedule.
+    min_init_window_s = 2.0
+
     def __init__(self, wmap: Map, extractor, local_mapper=None,
                  insert_kfs_lost: bool = True):
         self.map = wmap
@@ -251,10 +264,16 @@ class Tracking:
                 self.initialize_imu(prior_g=1.0, prior_a=1e5, fiba=True)
             nkf = self.map.n_keyframes()
             if (nkf <= 100 and nkf % 20 == 0 and self.last_kf is not None
-                    and self.last_kf.mnId != self._last_refine_kf_id):
+                    and self.last_kf.mnId != self._last_refine_kf_id
+                    and self.state == OK):
                 # dedup: nkf%20==0 holds across consecutive frames until a
                 # new KF lands; re-running refine on the identical map state
-                # is pure waste (same estimate, same gate decision)
+                # is pure waste (same estimate, same gate decision).
+                # state==OK: coasting/lost frames now create keyframes
+                # (reference insert_kfs_lost), and a refine estimated over
+                # a map whose tail is IMU dead-reckoning is garbage-in
+                # (r5 live capture: refine at 0.12 + conformal 0.25x fired
+                # mid-coast and quartered an already-collapsed map)
                 self._last_refine_kf_id = self.last_kf.mnId
                 self.scale_refinement()
 
@@ -1138,19 +1157,24 @@ class Tracking:
     # keyframe policy (Tracking.cpp:913-972)
     # ------------------------------------------------------------------
     def need_new_keyframe(self) -> bool:
+        # The reference policy is PURE timing + mapper-idle
+        # (Tracking.cpp:913-941) — deliberately NO inlier gate: keyframes
+        # created while RECENTLY_LOST (coasting on IMU, Track():431) carry
+        # fresh detections at IMU-predicted poses, and IncreMap's epipolar
+        # triangulation between consecutive coasting KFs is exactly how
+        # unmapped territory gets mapped so tracking can re-acquire. An r4
+        # inlier>=15 gate here made insert_kfs_lost dead code and the r5
+        # live corridor unrecoverable after its 180-deg turns (inl=0 for
+        # 5 s, KFs frozen, LOST).
         lm = self.local_mapper
-        if lm is not None and not lm.accepts_keyframe_now():
+        urgent = self.state == RECENTLY_LOST and self.map.imu_initialized
+        if lm is not None and not lm.accepts_keyframe_now(urgent=urgent):
             # policy rationale (incl. the documented divergence from the
             # reference's skip-while-busy gate) lives in
             # LocalMapping.accepts_keyframe_now
             return False
         if self.last_kf is None:
             return True
-        # don't spawn keyframes from frames that barely track (the reference
-        # gates on mnMatchesInliers, Tracking.cpp:913-941) — blind/coasting
-        # frames would insert featureless keyframes into the map
-        if self.matches_inliers < 15 and self.state != OK:
-            return False
         return (self.current.timestamp - self.last_kf.timestamp) >= 0.1
 
     def create_new_keyframe(self) -> None:
@@ -1201,7 +1225,8 @@ class Tracking:
         kfs = self._temporal_keyframes()
         if len(kfs) < 10:
             return
-        if self.last_kf.timestamp - kfs[0].timestamp < 2.0:
+        if self.last_kf.timestamp - kfs[0].timestamp < \
+                self.min_init_window_s:
             return
 
         if not wm.imu_initialized:
@@ -1260,12 +1285,23 @@ class Tracking:
         c0 = c1 = None
         if (apply_ok and not first_init and abs(scale - 1.0) > 1e-5
                 and not _small_transform(Rwg_f, scale)):
-            from ..estimator.ba import whole_map_transform_gain
+            # HARD sanity band before the objective gate (r5): the serial
+            # live corridor showed a 0.228x refine estimate PASSING the
+            # full-objective comparison — near the visual noise floor the
+            # attenuation bias contaminates the whitened objective itself,
+            # so the gate agrees with the biased optimum. A VIBA-stage
+            # correction outside [1/4, 4] means the estimator is
+            # degenerate, not that the metric scale is 4x off; refuse and
+            # let the FIBA conformal interleave repair instead.
+            if not (0.25 <= scale <= 4.0):
+                apply_ok = False
+            else:
+                from ..estimator.ba import whole_map_transform_gain
 
-            gain = whole_map_transform_gain(wm, Rwg_f.T, scale)
-            if gain is not None:
-                c0, c1 = gain
-                apply_ok = c1 <= c0 * 1.001
+                gain = whole_map_transform_gain(wm, Rwg_f.T, scale)
+                if gain is not None:
+                    c0, c1 = gain
+                    apply_ok = c1 <= c0 * 1.001
         ev = dict(t=float(self.last_kf.timestamp),
                   kind=("init" if first_init else "viba1"),
                   scale=scale, n_kfs=len(kfs), applied=apply_ok,
@@ -1454,6 +1490,18 @@ class Tracking:
             Rwg_f = np.asarray(Rwg_f, np.float32)
             if _small_transform(Rwg_f, scale):
                 accept = True
+            elif not (0.5 <= scale <= 2.0):
+                # HARD sanity band (r5): the serial live corridor showed a
+                # 0.228x refine estimate PASSING the full-objective gate —
+                # near the visual noise floor the attenuation bias
+                # contaminates the whitened objective itself, so the gate
+                # agrees with the biased optimum and s_align collapsed to
+                # 0.45 (ATE 2.65 m). ScaleRefinement runs every 20 KFs on
+                # an already-metric map: a >2x "correction" there means
+                # the velocities-fixed estimator is degenerate, not that
+                # the scale is 2x off. Refuse; the FIBA conformal
+                # interleave is the designated repair for real mis-scale.
+                accept = False
             else:
                 from ..estimator.ba import whole_map_transform_gain
 

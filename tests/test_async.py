@@ -91,17 +91,22 @@ class TestAbortBA:
         assert lm.queue, "inserted KF awaits the outer drain loop"
         lm._processing = False
 
-    def test_kf_gate_allows_one_queued_mid_ba(self):
-        """need_new_keyframe with a THREADED mapper mid-keyframe: allow one
-        insertion (empty queue) so the abort poll cuts the running BA — the
-        reference's skip-while-busy policy starves the map when a
-        keyframe's fuse+LBA outlasts the 0.1 s cadence (measured: threaded
-        free-run ATE doubled with half the keyframes). Queue >= 1: skip."""
-        from ppg_slam_tpu.pipeline.tracking import OK, Tracking
+    def test_kf_gate_backlog_policy(self):
+        """need_new_keyframe with a THREADED mapper: keyframe acceptance
+        must NOT sample the worker's instantaneous busyness (that made the
+        KF set a function of link/thread timing — the r4 driver/judge
+        nondeterminism — and starved the map on slow links). The consumer
+        accepts up to a depth-8 backlog (the backlog pre-emption in
+        process_keyframe keeps the drain at host fuse speed), and
+        RECENTLY_LOST bypasses the cap entirely (mapping fresh territory
+        beats BA freshness)."""
+        from ppg_slam_tpu.pipeline.tracking import (OK, RECENTLY_LOST,
+                                                    Tracking)
 
         wmap, kfs, _ = build_small_map()
         lm = LocalMapping(wmap)
         tracking = Tracking.__new__(Tracking)  # state-only: no extractor
+        tracking.state_events = []  # state setter records transitions
         tracking.map = wmap
         tracking.local_mapper = lm
         tracking.last_kf = kfs[-1]
@@ -116,12 +121,20 @@ class TestAbortBA:
         # synchronous mapper (no thread), busy => skip (unchanged policy)
         lm._idle = False
         assert not tracking.need_new_keyframe()
-        # threaded worker mid-keyframe, EMPTY queue => allow
+        # threaded worker mid-keyframe, shallow queue => allow
         lm._thread = object()
         assert tracking.need_new_keyframe()
-        # threaded worker with a queued KF => skip (queue stays <= 1)
         lm.queue.append(kfs[-2])
+        assert tracking.need_new_keyframe()
+        # depth-8 safety valve binds
+        lm.queue.extend([kfs[-2]] * 7)
         assert not tracking.need_new_keyframe()
+        # ... except when coasting into unmapped territory (inertial
+        # RECENTLY_LOST): the cap is bypassed
+        wmap.imu_initialized = True
+        tracking.state = RECENTLY_LOST
+        assert tracking.need_new_keyframe()
+        wmap.imu_initialized = False
         lm.queue.clear()
         lm._thread = None
         lm._idle = True
