@@ -1121,10 +1121,25 @@ def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
     # conformal-scale annealing: line-search the global-scale mode the
     # damped-GN fold cannot move, then let the solver re-polish — repeat
     # until the scale is stationary (see _conformal_refine)
+    cum = 1.0
     for _ in range(3):
         s = _conformal_best_scale(st, pts, prob, rig, opts, slot_k)
         if s == 1.0:
             break
+        # Asymmetric trust bound (r5): near the visual noise floor the
+        # attenuation bias only ever pulls the conformal mode DOWN — a
+        # live VIBA1 pass was measured annealing a 0.85-of-metric map by
+        # x0.34 in one 3-step loop (each step "improving" the
+        # contaminated objective), which is the collapse this loop exists
+        # to repair, not to cause. Genuine repairs in every captured case
+        # pull UP (un-collapsing a biased init). Shrink steps are
+        # therefore clamped: >= 0.75 per step, cumulative >= 0.6 per
+        # FIBA call; growth steps stay free.
+        if s < 1.0:
+            s = max(s, 0.75, 0.6 / cum)
+            if s >= 0.999:
+                break
+        cum *= s
         st, pts = _apply_conformal(st, pts, s)
         st_n = KFStates(*[np.asarray(x)[:len(kfs)] for x in st])
         pts_n = np.asarray(pts)[:len(mps)]

@@ -1230,6 +1230,22 @@ class Tracking:
             return
 
         if not wm.imu_initialized:
+            # Pre-init visual consolidation (r5): the closed-form gravity/
+            # scale estimator assumes locally-CONVERGED keyframe poses —
+            # the reference's real-time g2o mapper guarantees that; our
+            # consumer thread under a slow link skips/aborts LBAs (bounded
+            # drought), leaving pre-init poses noisy, and the estimator's
+            # attenuation bias grows with exactly that pose noise
+            # (measured: threaded first-init scales 0.43-0.74 on data
+            # where synchronous-mapper runs estimate 0.996). One short
+            # visual-only GBA over the <=25-KF pre-init map equalizes
+            # pose quality regardless of the worker's backlog state —
+            # it is also the r4 #4 threaded-vs-serial variance killer at
+            # the moment it matters most.
+            from ..estimator.ba import global_bundle_adjustment
+
+            global_bundle_adjustment(wm, iters=15,
+                                     map_lock=wm.update_lock)
             dir_g = np.zeros(3, np.float64)
             for kf in kfs:
                 if kf.preintegrated is None or kf.prev_kf is None:
@@ -1285,15 +1301,21 @@ class Tracking:
         c0 = c1 = None
         if (apply_ok and not first_init and abs(scale - 1.0) > 1e-5
                 and not _small_transform(Rwg_f, scale)):
-            # HARD sanity band before the objective gate (r5): the serial
-            # live corridor showed a 0.228x refine estimate PASSING the
-            # full-objective comparison — near the visual noise floor the
-            # attenuation bias contaminates the whitened objective itself,
-            # so the gate agrees with the biased optimum. A VIBA-stage
-            # correction outside [1/4, 4] means the estimator is
-            # degenerate, not that the metric scale is 4x off; refuse and
-            # let the FIBA conformal interleave repair instead.
-            if not (0.25 <= scale <= 4.0):
+            # HARD sanity band before the objective gate (r5): live
+            # corridor captures showed large collapse estimates PASSING
+            # the full-objective comparison — near the visual noise floor
+            # the attenuation bias contaminates the whitened objective
+            # itself, so the gate agrees with the biased optimum (a VIBA1
+            # estimate of 0.316 was applied onto a map whose TRUE
+            # correction was x1.75 — wrong direction by 5.5x — and the
+            # IMU coast then diverged unrecoverably). A VIBA-stage
+            # correction outside [1/2, 2] means the estimator is
+            # degenerate, not that the metric scale is 2x off; refuse and
+            # keep the map self-consistent at its current scale — a
+            # consistent non-metric map tracks fine and loop closure is
+            # Sim3 (scale-invariant); later annealing repairs the scale
+            # when the data supports it.
+            if not (0.5 <= scale <= 2.0):
                 apply_ok = False
             else:
                 from ..estimator.ba import whole_map_transform_gain
