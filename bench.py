@@ -1170,7 +1170,11 @@ def _render_wireframe_euroc(n_frames=48, seed=7, speed=0.10):
     return frames, poses, imu
 
 
-def _render_loop_euroc(n_frames=280, seed=7, L=8.0):
+def _render_loop_euroc(n_frames=280, seed=7, L=12.0):
+    # L=12 -> cruise ~1.9 m/s (was 8 -> 1.25): the per-link metric-scale
+    # signal the closed-form init sees is proportional to speed x dt, and
+    # the straight corridor (2.0 m/s, init scale 0.996) vs this one
+    # (1.25 m/s, init 0.43-1.26 coin flip) differed in little else.
     """Out-and-back TWO-WALL corridor for the live loop-closure e2e: the
     camera sweeps +x viewing wall A (z=+6), yaw-turns 180 deg at the far
     end, returns viewing wall B (z=-6), and turns back near the start —
@@ -1218,7 +1222,8 @@ def _render_loop_euroc(n_frames=280, seed=7, L=8.0):
         sgn = 1.0 if z_w > 0 else -1.0
         for xc in np.arange(-2.0, L + 4.0, 0.35):
             p = np.array([xc, 0, 0]) + r.uniform(
-                [-0.4, -1.5, sgn * 3.8], [0.4, 1.5, sgn * 5.6])
+                [-0.4, -1.5, sgn * (abs(z_w) - 1.6)],
+                [0.4, 1.5, sgn * (abs(z_w) - 0.3)])
             q = p + r.uniform([-1.0, -1.0, -0.3], [1.0, 1.0, 0.3])
             segs.append((tuple(p), tuple(q)))
             vals.append(int(r.randint(170, 255)))
@@ -1242,18 +1247,18 @@ def _render_loop_euroc(n_frames=280, seed=7, L=8.0):
         plane chart world = (x_w, ty/s + wy0, tx/s + wz0)."""
         r = np.random.RandomState(wseed)
         segs, vals = [], []
-        z = -5.8
-        while z < 5.8:
+        z = -4.0
+        while z < 4.0:
             tilt = r.uniform(-0.35, 0.35)
             segs.append(((x_w, -1.8, z), (x_w, 1.8, z + tilt)))
             vals.append(int(r.randint(170, 255)))
             z += r.uniform(0.35, 0.95)
         for y in np.linspace(-1.8, 1.8, 10):
             dy = r.uniform(-0.15, 0.15)
-            segs.append(((x_w, y, -6.0), (x_w, y + dy, 6.0)))
+            segs.append(((x_w, y, -4.4), (x_w, y + dy, 4.4)))
             vals.append(int(r.randint(170, 255)))
         sgn = 1.0 if x_w > 0 else -1.0
-        for zc in np.arange(-5.0, 5.0, 0.35):
+        for zc in np.arange(-3.6, 3.6, 0.35):
             p = np.array([0, 0, zc]) + r.uniform(
                 [sgn * 0.2, -1.5, -0.4],
                 [sgn * 1.2, 1.5, 0.4]) + np.array([x_w - sgn * 1.4, 0, 0])
@@ -1261,15 +1266,24 @@ def _render_loop_euroc(n_frames=280, seed=7, L=8.0):
             segs.append((tuple(p), tuple(q)))
             vals.append(int(r.randint(170, 255)))
         s = 96.0
-        wz0, wy0 = -6.2, -2.4
-        tw = int((6.2 - wz0) * s)
+        wz0, wy0 = -4.6, -2.4
+        tw = int((4.6 - wz0) * s)
         thh = int((2.4 - wy0) * s)
         tex = _noise_tex(r, tw, thh)
         Btex = np.array([[0.0, 0.0, x_w], [0.0, 1.0 / s, wy0],
                          [1.0 / s, 0.0, wz0]])
         return segs, vals, tex, Btex, np.array([x_w, 0.0, 0.0])
 
-    walls = (_make_wall(+6.0, seed + 11), _make_wall(-6.0, seed + 23),
+    # Side walls at 4.2 m (was 6): the monocular map is born at the
+    # reference's 4/median-depth gauge (Map.cpp:669) — with 6 m walls
+    # that is 0.67x METRIC from frame one, and a too-SMALL map is the
+    # unstable direction for the VI filter (metric IMU steps overshoot
+    # the map, matches die during weak-visual stretches, the pose
+    # ratchets away — every captured runaway had map-smaller-than-
+    # metric, while a 2.2x too-large map tracked fine). At 4.2 m the
+    # birth gauge is ~0.95x and the biased scale estimators have nothing
+    # dangerous left to "fix".
+    walls = (_make_wall(+4.2, seed + 11), _make_wall(-4.2, seed + 23),
              _make_end_wall(L + 4.5, seed + 37),
              _make_end_wall(-4.5, seed + 41))
 
@@ -1282,15 +1296,17 @@ def _render_loop_euroc(n_frames=280, seed=7, L=8.0):
     # runs — bias, not noise; the straight corridor's constant-speed
     # launch never shows it). Zero-DC cruise + the 3-axis wobble is both
     # the realistic walk profile and the identifiable one.
-    # Wobble at ~7 m/s^2 peaks (2x the straight corridor, EuRoC-MH burst
-    # class): the out-and-back's lateral-viewing geometry gives the
+    # Wobble at ~5 m/s^2 peaks (1.5x the straight corridor, EuRoC-MH
+    # burst class): the out-and-back's lateral-viewing geometry gives the
     # closed-form init less parallax leverage than the straight sweep,
     # and at 3.5 m/s^2 its scale estimate was a measured coin flip
     # (1.264 vs 0.553 across thread-timing-identical-code runs); the
-    # scale SNR is linear in accel amplitude.
-    bx, wx = 0.44, 4.0
-    by, wy = 0.60, 3.4
-    bz, wz = 0.30, 2.6
+    # scale SNR is linear in accel amplitude. 2x (7 m/s^2) was measured
+    # to break monocular two-view init outright (flow bursts defeat the
+    # association windows) — 1.5x keeps both alive.
+    bx, wx = 0.33, 4.0
+    by, wy = 0.42, 3.4
+    bz, wz = 0.22, 2.6
     w_r = 0.35                      # ramp width (s)
     # launch ramp centred BEFORE t=0: the camera starts already at cruise
     # (like the straight corridor) — a standing start gives the monocular
@@ -1313,16 +1329,25 @@ def _render_loop_euroc(n_frames=280, seed=7, L=8.0):
         -by * wy * wy * np.sin(wy * tm),
         -bz * wz * wz * np.sin(wz * tm)])
 
-    # tau=0.4 peaked the turn at 225 deg/s — harsher than any EuRoC/TUM-VI
-    # motion and fast enough that the whole turn fit between two keyframes;
-    # 0.7 (~130 deg/s peak, ~2.5 s per turn) is a brisk handheld turn
-    tau = 0.7
-    t_turn2 = T - 2.2
+    # Turn rates: tau=0.4 peaked at 225 deg/s (the whole turn fit between
+    # two keyframes — unsurvivable); 0.7 gave 130 deg/s, which at 20 fps
+    # is ~37 px/frame rotational flow and left tracking marginal (inl
+    # 6-30) through both turns in every capture. tau=1.0/0.9 (~90-100
+    # deg/s peak — a normal walking turn) keeps the per-frame flow inside
+    # the association windows.
+    tau = 1.0
+    tau2 = 0.9
+    # turn 2 happens ~4 s before the end: the post-turn home approach
+    # (facing wall A again, re-viewing the out-leg's map from the same
+    # direction) is where relocalization + the 3-coincidence loop chain
+    # must stabilize — 1.2 s was measured too short (reloc fired twice
+    # and flapped), ~2.5 s of revisit gives it 8-12 keyframes
+    t_turn2 = T - 4.0
 
     def dyaw(tm):
         s1 = 1.0 / np.cosh((tm - T / 2) / tau) ** 2
-        s2 = 1.0 / np.cosh((tm - t_turn2) / tau) ** 2
-        return np.pi / (2 * tau) * (s1 - s2)
+        s2 = 1.0 / np.cosh((tm - t_turn2) / tau2) ** 2
+        return np.pi / (2 * tau) * s1 - np.pi / (2 * tau2) * s2
 
     gyro_b = lambda tm: np.float32([0.12 * np.sin(2.2 * tm),
                                     0.12 * np.cos(4.0 * tm) + dyaw(tm),

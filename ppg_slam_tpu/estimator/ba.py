@@ -1024,8 +1024,8 @@ def whole_map_transform_gain(wmap: Map, Rgw: np.ndarray,
     return c0, c1
 
 
-def conformal_scale_refine(wmap: Map, lo: float = 0.5,
-                           hi: float = 2.0) -> float:
+def conformal_scale_refine(wmap: Map, lo: float = 0.4,
+                           hi: float = 2.5) -> float:
     """Full-objective global-scale correction for a live inertial map: the
     closed-form ScaleRefinement estimator (velocities held fixed,
     OptimizerInertial.cpp:29-152) is attenuation-biased when per-link
@@ -1067,11 +1067,19 @@ def conformal_scale_refine(wmap: Map, lo: float = 0.5,
 def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
                      b_init: bool = False, prior_g: float = 1e2,
                      prior_a: float = 1e6, abort_check=None,
-                     map_lock=None, mesh=None) -> None:
+                     map_lock=None, mesh=None,
+                     conformal_shrink_cum: float = 1.0) -> None:
     """Visual-inertial global BA (OptimizerGBA.cpp:291-683). map_lock guards
     the host gather/write phases for background-thread GBA (see
     global_bundle_adjustment); mesh shards the residual set over a device
-    mesh (parallel/sharded_ba.py)."""
+    mesh (parallel/sharded_ba.py).
+
+    conformal_shrink_cum: cumulative DOWNWARD clamp for the conformal
+    annealing loop (growth is always free). Default 1.0 = shrink-free:
+    on an already-metric map the attenuation-biased objective proposes
+    spurious shrinks (a refused VIBA1's internal FIBA was measured eating
+    exactly its clamp, x0.6, on every call). Only the FIRST IMU init —
+    whose closed-form seed may genuinely overshoot — passes 0.6."""
     from contextlib import nullcontext
 
     guard = map_lock if map_lock is not None else nullcontext()
@@ -1133,10 +1141,11 @@ def full_inertial_ba(wmap: Map, iters: int = 100, loop_kf: int = 0,
         # contaminated objective), which is the collapse this loop exists
         # to repair, not to cause. Genuine repairs in every captured case
         # pull UP (un-collapsing a biased init). Shrink steps are
-        # therefore clamped: >= 0.75 per step, cumulative >= 0.6 per
-        # FIBA call; growth steps stay free.
+        # therefore clamped (>= 0.75 per step, cumulative >=
+        # conformal_shrink_cum per call — callers outside the first IMU
+        # init get shrink-free annealing); growth steps stay free.
         if s < 1.0:
-            s = max(s, 0.75, 0.6 / cum)
+            s = max(s, 0.75, conformal_shrink_cum / cum)
             if s >= 0.999:
                 break
         cum *= s

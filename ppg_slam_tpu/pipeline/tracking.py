@@ -59,6 +59,21 @@ def _small_transform(Rwg: np.ndarray, scale: float,
     return abs(float(scale) - 1.0) <= max_ds and ang <= max_ang
 
 
+# Whole-map scale-TRIM band (r5): the closed-form inertial-init scale is
+# applied only inside this log-symmetric band — see the policy comment in
+# initialize_imu. Shared by init/VIBA/refine so the system has ONE notion
+# of how far a single closed-form estimate may move the map.
+SCALE_TRIM_LO = 0.7
+SCALE_TRIM_HI = 1.0 / 0.7
+# Cumulative SHRINK budget across all applied whole-map trims: the
+# attenuation bias proposes spurious shrinks persistently, so even
+# in-band trims random-walk the scale DOWN monotonically (captured:
+# 0.888 x 0.901 x 0.968 = x0.77 across three healthy-looking events on a
+# near-metric map). Growth extends the budget; total shrink below
+# SCALE_SHRINK_BUDGET of the running product is refused.
+SCALE_SHRINK_BUDGET = 0.85
+
+
 def _sqrtm_psd_np(H):
     H = 0.5 * (H + H.T)
     w, V = np.linalg.eigh(H)
@@ -107,6 +122,7 @@ class Tracking:
         self.velocity = None  # (R, t) of Tcl motion model
         self.t_init = 0.0
         self._last_refine_kf_id = -1
+        self._applied_scale_cum = 1.0  # see SCALE_SHRINK_BUDGET
         self.time_lost = 0.0
         self.last_reloc_frame_id = -1000000
         self.matches_inliers = 0
@@ -1297,33 +1313,34 @@ class Tracking:
         # passes (VIBA1/VIBA2) must not be allowed to collapse an
         # already-metric map, so the candidate is checked against the
         # total visual-inertial chi2 exactly like scale_refinement's.
-        apply_ok = scale >= 1e-1
+        # SCALE-TRIM policy (r5, deliberate divergence from the
+        # reference's unconditional apply — documented from instrumented
+        # live captures): the closed-form scale estimate is attenuation-
+        # biased near the visual noise floor, and the bias contaminates
+        # the whitened objective itself, so neither the estimate nor a
+        # full-objective gate can referee LARGE corrections (measured:
+        # first-init 0.657 applied onto a 0.97-of-metric map; VIBA1
+        # 0.316 where truth was x1.75, gate-approved). The estimator is
+        # therefore treated as a TRIM instrument: scale applies only
+        # inside the log-symmetric band [0.7, 1.43] — on identifiable
+        # data a genuinely-off gauge converges through repeated in-band
+        # trims (init + VIBA1/2 + refine every 20 KFs compound to >3x),
+        # while on degenerate data the map keeps its current consistent
+        # gauge, the stable failure mode. The gravity ROTATION (reliably
+        # estimated) applies in full either way on first init.
+        shrink_floor = max(SCALE_TRIM_LO,
+                           SCALE_SHRINK_BUDGET / self._applied_scale_cum)
+        apply_ok = (scale >= 1e-1 and shrink_floor <= scale
+                    <= SCALE_TRIM_HI)
         c0 = c1 = None
         if (apply_ok and not first_init and abs(scale - 1.0) > 1e-5
                 and not _small_transform(Rwg_f, scale)):
-            # HARD sanity band before the objective gate (r5): live
-            # corridor captures showed large collapse estimates PASSING
-            # the full-objective comparison — near the visual noise floor
-            # the attenuation bias contaminates the whitened objective
-            # itself, so the gate agrees with the biased optimum (a VIBA1
-            # estimate of 0.316 was applied onto a map whose TRUE
-            # correction was x1.75 — wrong direction by 5.5x — and the
-            # IMU coast then diverged unrecoverably). A VIBA-stage
-            # correction outside [1/2, 2] means the estimator is
-            # degenerate, not that the metric scale is 2x off; refuse and
-            # keep the map self-consistent at its current scale — a
-            # consistent non-metric map tracks fine and loop closure is
-            # Sim3 (scale-invariant); later annealing repairs the scale
-            # when the data supports it.
-            if not (0.5 <= scale <= 2.0):
-                apply_ok = False
-            else:
-                from ..estimator.ba import whole_map_transform_gain
+            from ..estimator.ba import whole_map_transform_gain
 
-                gain = whole_map_transform_gain(wm, Rwg_f.T, scale)
-                if gain is not None:
-                    c0, c1 = gain
-                    apply_ok = c1 <= c0 * 1.001
+            gain = whole_map_transform_gain(wm, Rwg_f.T, scale)
+            if gain is not None:
+                c0, c1 = gain
+                apply_ok = c1 <= c0 * 1.001
         ev = dict(t=float(self.last_kf.timestamp),
                   kind=("init" if first_init else "viba1"),
                   scale=scale, n_kfs=len(kfs), applied=apply_ok,
@@ -1341,7 +1358,16 @@ class Tracking:
             if abs(scale - 1.0) > 1e-5:
                 wm.apply_scaled_rotation(Rwg_f.T, scale, scale_vel=True)
                 self._update_frame_imu(scale)
+                self._applied_scale_cum *= float(scale)
             vels = (vf @ Rwg_f) * scale  # rows Rwg_f.T @ vf[i] * scale
+        elif first_init:
+            # scale refused (outside the trim band) but this is the FIRST
+            # init: the gravity rotation is reliably estimated and the
+            # whole inertial pipeline needs gravity at -z — apply the
+            # ROTATION alone and leave the scale at the current gauge
+            wm.apply_scaled_rotation(Rwg_f.T, 1.0, scale_vel=True)
+            self._update_frame_imu(1.0)
+            vels = vf @ Rwg_f
         else:
             # transform refused: velocities were estimated in the CURRENT
             # world frame — write them back unrotated/unscaled so the map
@@ -1360,7 +1386,9 @@ class Tracking:
         if fiba:
             full_inertial_ba(wm, iters=100, loop_kf=0,
                              b_init=(prior_a != 0), prior_g=prior_g,
-                             prior_a=prior_a)
+                             prior_a=prior_a,
+                             conformal_shrink_cum=0.6 if first_init
+                             else 1.0)
         # whole-map transform: invalidate any in-flight threaded local BA
         # (the reference RequestStops local mapping around InitializeIMU,
         # Tracking.cpp:1509)
@@ -1510,19 +1538,22 @@ class Tracking:
             # (roll/pitch < 0.008 rad) rejects every loop (r5 bisect of
             # the red test_loop_closing fixture).
             Rwg_f = np.asarray(Rwg_f, np.float32)
+            shrink_floor = max(
+                SCALE_TRIM_LO,
+                SCALE_SHRINK_BUDGET / self._applied_scale_cum)
             if _small_transform(Rwg_f, scale):
                 accept = True
-            elif not (0.5 <= scale <= 2.0):
-                # HARD sanity band (r5): the serial live corridor showed a
+            elif not (shrink_floor <= scale <= SCALE_TRIM_HI):
+                # scale-TRIM band (r5): the serial live corridor showed a
                 # 0.228x refine estimate PASSING the full-objective gate —
                 # near the visual noise floor the attenuation bias
                 # contaminates the whitened objective itself, so the gate
                 # agrees with the biased optimum and s_align collapsed to
                 # 0.45 (ATE 2.65 m). ScaleRefinement runs every 20 KFs on
-                # an already-metric map: a >2x "correction" there means
-                # the velocities-fixed estimator is degenerate, not that
-                # the scale is 2x off. Refuse; the FIBA conformal
-                # interleave is the designated repair for real mis-scale.
+                # an already-metric map: a beyond-trim "correction" there
+                # means the velocities-fixed estimator is degenerate, not
+                # that the scale is that far off (see the initialize_imu
+                # policy comment). Refuse.
                 accept = False
             else:
                 from ..estimator.ba import whole_map_transform_gain
@@ -1537,6 +1568,7 @@ class Tracking:
                 self.map.apply_scaled_rotation(Rwg_f.T, scale,
                                                scale_vel=True)
                 self._update_frame_imu(scale)
+                self._applied_scale_cum *= float(scale)
                 applied = True
         ev = dict(t=float(self.last_kf.timestamp), kind="refine",
                   scale=scale, n_kfs=len(kfs), applied=applied,
@@ -1555,9 +1587,17 @@ class Tracking:
         # visual-inertial chi2 and apply the difference.
         from ..estimator.ba import conformal_scale_refine
 
-        s_conf = conformal_scale_refine(self.map)
+        # live path: trim band + cumulative shrink budget (see the
+        # initialize_imu policy comment) — the default wider band is for
+        # deliberate offline repair of a known-misscaled map
+        s_conf = conformal_scale_refine(
+            self.map,
+            lo=max(SCALE_TRIM_LO,
+                   SCALE_SHRINK_BUDGET / self._applied_scale_cum),
+            hi=SCALE_TRIM_HI)
         if abs(s_conf - 1.0) > 1e-3:
             self._update_frame_imu(s_conf)
+            self._applied_scale_cum *= float(s_conf)
         ev2 = dict(t=float(self.last_kf.timestamp), kind="conformal",
                    scale=s_conf, n_kfs=len(kfs),
                    applied=abs(s_conf - 1.0) > 1e-3)
@@ -1590,6 +1630,7 @@ class Tracking:
         self.ready_to_init = False
         self.velocity = None
         self.t_init = 0.0
+        self._applied_scale_cum = 1.0
         self.preint_from_kf = None
         from ..worldmap import reset_ids
         reset_ids()  # reference: KeyFrame/Frame::nNextId = 0 (:1364-1365)
