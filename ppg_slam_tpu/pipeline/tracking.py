@@ -74,6 +74,14 @@ SCALE_TRIM_HI = 1.0 / 0.7
 SCALE_SHRINK_BUDGET = 0.85
 
 
+def _trim_accepts(scale: float, cum: float) -> bool:
+    """True when a whole-map scale trim is inside the per-event band AND
+    the cumulative shrink budget (cum = product of scales applied so
+    far). The single decision function behind init/VIBA/refine applies."""
+    floor = max(SCALE_TRIM_LO, SCALE_SHRINK_BUDGET / max(cum, 1e-6))
+    return floor <= float(scale) <= SCALE_TRIM_HI
+
+
 def _sqrtm_psd_np(H):
     H = 0.5 * (H + H.T)
     w, V = np.linalg.eigh(H)
@@ -1328,10 +1336,8 @@ class Tracking:
         # while on degenerate data the map keeps its current consistent
         # gauge, the stable failure mode. The gravity ROTATION (reliably
         # estimated) applies in full either way on first init.
-        shrink_floor = max(SCALE_TRIM_LO,
-                           SCALE_SHRINK_BUDGET / self._applied_scale_cum)
-        apply_ok = (scale >= 1e-1 and shrink_floor <= scale
-                    <= SCALE_TRIM_HI)
+        apply_ok = (scale >= 1e-1
+                    and _trim_accepts(scale, self._applied_scale_cum))
         c0 = c1 = None
         if (apply_ok and not first_init and abs(scale - 1.0) > 1e-5
                 and not _small_transform(Rwg_f, scale)):
@@ -1538,12 +1544,9 @@ class Tracking:
             # (roll/pitch < 0.008 rad) rejects every loop (r5 bisect of
             # the red test_loop_closing fixture).
             Rwg_f = np.asarray(Rwg_f, np.float32)
-            shrink_floor = max(
-                SCALE_TRIM_LO,
-                SCALE_SHRINK_BUDGET / self._applied_scale_cum)
             if _small_transform(Rwg_f, scale):
                 accept = True
-            elif not (shrink_floor <= scale <= SCALE_TRIM_HI):
+            elif not _trim_accepts(scale, self._applied_scale_cum):
                 # scale-TRIM band (r5): the serial live corridor showed a
                 # 0.228x refine estimate PASSING the full-objective gate —
                 # near the visual noise floor the attenuation bias

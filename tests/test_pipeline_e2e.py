@@ -216,6 +216,30 @@ class TestPipelineE2E:
             f"conformal refine returned {s_fix:.3f} on a 0.5x-collapsed "
             f"map — the scale net is blind again")
 
+    def test_scale_trim_band_and_budget(self):
+        """The r5 scale-TRIM policy: per-event band [0.7, 1.43] plus a
+        cumulative shrink budget (applied product may not fall below
+        0.85; growth extends it). The attenuation-biased estimator
+        random-walks the scale DOWN through individually-plausible trims
+        (captured: 0.888 x 0.901 x 0.968 = x0.77) — the budget is what
+        stops the walk."""
+        from ppg_slam_tpu.pipeline.tracking import _trim_accepts
+
+        # fresh budget: band applies
+        assert _trim_accepts(1.0, 1.0)
+        assert _trim_accepts(0.9, 1.0)
+        assert _trim_accepts(1.4, 1.0)
+        assert not _trim_accepts(0.65, 1.0)
+        assert not _trim_accepts(1.5, 1.0)
+        # after a 0.9 shrink the remaining budget is 0.85/0.9 = 0.944:
+        # another 0.9 trim must be refused even though it is in-band
+        assert not _trim_accepts(0.9, 0.9)
+        assert _trim_accepts(0.95, 0.9)
+        # growth extends the budget
+        assert _trim_accepts(0.9, 1.2)
+        # growth is never budget-limited
+        assert _trim_accepts(1.3, 0.9)
+
     def test_small_transform_bounds(self):
         """_small_transform gates the unconditional-apply bypass: tiny
         annealing corrections pass, collapses and big rotations do not."""
