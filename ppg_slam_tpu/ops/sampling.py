@@ -239,8 +239,12 @@ def remap_banded(heat: jax.Array, mapx: jax.Array, mapy: jax.Array,
     full-width formulation), then mix the two y-taps (VPU). Exact f32
     bilinear (2-nonzero one-hot rows: see module docstring).
 
-    mapx/mapy: (H, W) f32 source coords; band_lo (H/ROWCHUNK,) int32;
-    col_lo (H/ROWCHUNK, ceil(W/COLTILE)) int32.
+    mapx/mapy: (H, W) f32 source coords; band_lo (H/ROWCHUNK,
+    ceil(W/COLTILE)) int32 per-TILE row-window starts (fisheye
+    undistortion rows CURVE — at TUM-VI 1024 the per-chunk y-span across
+    a full row is ~62-75 px while the per-tile span is ~10-20, so a
+    per-chunk band wastes 3-4x window traffic); col_lo
+    (H/ROWCHUNK, ceil(W/COLTILE)) int32.
     """
     h, w = heat.shape
     n_chunks = h // ROWCHUNK
@@ -257,10 +261,10 @@ def remap_banded(heat: jax.Array, mapx: jax.Array, mapy: jax.Array,
     brange = jnp.arange(band, dtype=jnp.int32)[None, None, :]
 
     def chunk(c, _):
-        lo = band_lo[c]
         r0 = c * ROWCHUNK
 
         def tile(t):
+            lo = band_lo[c, t]
             xlo = col_lo[c, t]
             win = jax.lax.dynamic_slice(
                 padded, (lo + band, xlo + src_w), (band, src_w))
@@ -308,9 +312,11 @@ def remap_banded(heat: jax.Array, mapx: jax.Array, mapy: jax.Array,
 
 
 def band_params(mapx, mapy, band_pad: int = 4):
-    """Host-precomputed tile windows for remap_banded: per-chunk input band
-    start + static band height, per-(chunk, tile) input column start +
-    static window width (numpy, once per camera)."""
+    """Host-precomputed tile windows for remap_banded: per-(chunk, tile)
+    input band start + static band height, per-(chunk, tile) input column
+    start + static window width (numpy, once per camera). The row band is
+    per-TILE because fisheye undistortion rows curve: at TUM-VI 1024 the
+    full-row y-span is ~62-75 px while the per-tile span is ~10-20."""
     import numpy as np
 
     h, w = mapy.shape
@@ -318,11 +324,15 @@ def band_params(mapx, mapy, band_pad: int = 4):
     n_chunks = h // ROWCHUNK
     n_tiles = -(-w // COLTILE)
     y0 = np.floor(mapy).astype(np.int32)
-    y0c = y0.reshape(n_chunks, -1)
-    lo = y0c.min(axis=1) - 1
-    hi = y0c.max(axis=1) + 2
-    band = int((hi - lo).max()) + band_pad
-    lo = np.clip(lo, -band, h)
+    y0p = np.full((h, n_tiles * COLTILE), 0, np.int32)
+    y0p[:, :w] = y0
+    y0p[:, w:] = y0[:, -1:]
+    y0t = y0p.reshape(n_chunks, ROWCHUNK, n_tiles, COLTILE)
+    ymin = y0t.min(axis=(1, 3)) - 1
+    ymax = y0t.max(axis=(1, 3)) + 2
+    band = int((ymax - ymin).max()) + band_pad
+    band = -(-band // 8) * 8  # sublane-align the y-mix dim
+    lo = np.clip(ymin, -band, h)
 
     x0 = np.floor(mapx).astype(np.int32)
     x0p = np.full((h, n_tiles * COLTILE), 0, np.int32)
