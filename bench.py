@@ -71,7 +71,10 @@ def _supervise() -> None:
     import threading
 
     stall_s = 420.0
-    deadline_s = 2100.0  # room for the 1024-shape buckets' cold compiles
+    deadline_s = 3600.0  # room for the 1024-shape cold compiles AND a
+    # degraded-relay e2e (0.02 MB/s D2H days: every stage still makes
+    # line-rate progress, the per-frame heartbeats prove liveness, and
+    # killing a live run loses more than it saves)
     for attempt in range(3):
         child_env = dict(os.environ, PPG_BENCH_CHILD="1")
         p = subprocess.Popen(
@@ -1597,6 +1600,11 @@ def bench_e2e_live(n_frames=160, batch=8):
                 tracking.grab_imu(rows)
             tracking.grab_image(img, t, feats=feats)
             times.append(time.perf_counter() - t0)
+            if k % 40 == 39:  # supervisor heartbeat (420 s silence kill):
+                # the WARM pass cold-compiles every per-frame program and
+                # can exceed the stall window silently over a degraded link
+                log(f"  [e2e: frame {k + 1}/{len(frames)}, "
+                    f"kfs={wmap.n_keyframes()}, state={tracking.state}]")
         if use_mapper_thread:
             tracking.local_mapper.stop()
         # steady-state tracking dispatches/frame over the last 16 frames
